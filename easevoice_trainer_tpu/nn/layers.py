@@ -1,0 +1,219 @@
+"""Core layers, channels-last ``(batch, time, channels)``.
+
+TPU-native counterparts of the reference's torch building blocks
+(reference: src/easevoice/module/modules.py, commons.py).  Key differences:
+
+* layout is ``(B, T, C)`` — XLA's preferred conv layout — instead of
+  ``(B, C, T)``;
+* torch ``weight_norm`` is an explicit ``(g, v)`` reparameterization here
+  (``kernel = g * v / ||v||`` with the norm over all axes but the output
+  channel), so checkpoints round-trip exactly with torch's
+  ``weight_g`` / ``weight_v`` tensors;
+* padding is torch-style symmetric-integer, applied explicitly so lengths
+  match the reference trainers' shape contracts.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+LRELU_SLOPE = 0.1
+
+
+def sequence_mask(lengths: jnp.ndarray, max_length: int) -> jnp.ndarray:
+    """(B,) lengths -> (B, max_length) bool mask (True inside sequence)."""
+    pos = jnp.arange(max_length, dtype=lengths.dtype)
+    return pos[None, :] < lengths[:, None]
+
+
+def _dilated_span(kernel_size: int, dilation: int) -> int:
+    return (kernel_size - 1) * dilation + 1
+
+
+class Conv1d(nn.Module):
+    """Plain 1-D convolution on (B, T, C) with torch-style int padding."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    dilation: int = 1
+    padding: Optional[int] = None  # None => torch "same-ish": (k*d - d)//2
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.padding
+        if pad is None:
+            pad = (self.kernel_size * self.dilation - self.dilation) // 2
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            kernel_dilation=(self.dilation,),
+            padding=[(pad, pad)],
+            feature_group_count=self.groups,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class _WeightNormKernel(nn.Module):
+    """Parameter holder for g * v / ||v|| kernels.
+
+    ``v`` has flax layout ``(spatial..., in, out)``; the norm reduces every
+    axis except the final (output-channel) one — the same normalization
+    torch's ``weight_norm(dim=0)`` applies to its ``(out, in, k)`` weights.
+    """
+
+    shape: Sequence[int]
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        shape = tuple(self.shape)
+        out_features = shape[-1]
+        fan_in = int(np.prod(shape[:-1]))
+        # kaiming-uniform over v, matching torch Conv1d default init
+        bound = float(np.sqrt(1.0 / fan_in))
+        v = self.param(
+            "v", lambda key: jax.random.uniform(key, shape, jnp.float32, -bound, bound))
+        g = self.param(
+            "g",
+            lambda key: jnp.linalg.norm(v.reshape(-1, out_features), axis=0),
+        )
+        norm = jnp.linalg.norm(v.reshape(-1, out_features), axis=0)
+        return v * (g / jnp.maximum(norm, 1e-12))
+
+
+class WNConv1d(nn.Module):
+    """Weight-normalized Conv1d (reference: torch.nn.utils.weight_norm)."""
+
+    in_features: int
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    dilation: int = 1
+    padding: Optional[int] = None
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = _WeightNormKernel(
+            (self.kernel_size, self.in_features // self.groups, self.features),
+            name="wn",
+        )()
+        pad = self.padding
+        if pad is None:
+            pad = (self.kernel_size * self.dilation - self.dilation) // 2
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(self.stride,),
+            padding=[(pad, pad)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=self.groups,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+class WNConvTranspose1d(nn.Module):
+    """Weight-normalized transposed conv with torch output-length semantics.
+
+    out_len = (T - 1) * stride - 2 * padding + kernel_size
+    (reference: HiFi-GAN upsample stack, src/easevoice/module/models.py:427-443).
+
+    Implemented as an input-dilated convolution with a flipped kernel — the
+    exact algebraic equivalent — which XLA lowers to MXU-friendly convs.
+    """
+
+    in_features: int
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # torch stores transposed-conv weights as (in, out, k); keep v in the
+        # same logical orientation (k, out, in) so checkpoints map 1:1, then
+        # flip/transpose into a regular conv kernel.
+        kernel = _WeightNormKernel(
+            (self.kernel_size, self.features, self.in_features), name="wn")()
+        # conv_transpose(x, W) == conv(dilate(x), flip(W^T))
+        kernel = jnp.flip(kernel, axis=0)            # (k, out, in) flipped
+        kernel = jnp.swapaxes(kernel, 1, 2)          # -> (k, in, out)
+        pad = self.kernel_size - 1 - self.padding
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the channel (last) axis, fp32 statistics."""
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return (y * scale + bias).astype(orig_dtype)
+
+
+def leaky_relu(x: jnp.ndarray, slope: float = LRELU_SLOPE) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def rand_slice_segments(
+    rng: jax.Array, x: jnp.ndarray, lengths: jnp.ndarray, segment_size: int
+):
+    """Randomly slice ``segment_size`` frames from each row of (B, T, C).
+
+    Functional version of the reference's rand_slice_segments
+    (reference: src/easevoice/module/commons.py:51-59); returns the slices and
+    their start indices. Gather-based so shapes stay static under jit.
+    """
+    b, t, c = x.shape
+    max_start = jnp.maximum(lengths - segment_size + 1, 1)
+    u = jax.random.uniform(rng, (b,))
+    starts = (u * max_start.astype(jnp.float32)).astype(jnp.int32)
+    idx = starts[:, None] + jnp.arange(segment_size)[None, :]
+    sliced = jnp.take_along_axis(x, idx[:, :, None], axis=1)
+    return sliced, starts
+
+
+def slice_segments(x: jnp.ndarray, starts: jnp.ndarray, segment_size: int) -> jnp.ndarray:
+    """Gather fixed-length time slices per batch row from (B, T, C)."""
+    idx = starts[:, None] + jnp.arange(segment_size)[None, :]
+    return jnp.take_along_axis(x, idx[:, :, None], axis=1)

@@ -1,0 +1,126 @@
+"""Shape/finiteness tests for the s2 SoVITS model stack (tiny configs)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from easevoice_trainer_tpu.models.sovits import (
+    SynthesizerTrn, SovitsConfig, MultiPeriodDiscriminator, losses,
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        spec_channels=1025,
+        segment_size=2560,          # 4 frames * 640
+        inter_channels=32,
+        hidden_channels=32,
+        filter_channels=64,
+        n_heads=2,
+        n_layers=2,
+        upsample_initial_channel=32,
+        gin_channels=32,
+        ssl_dim=64,
+        n_symbols=50,
+        p_dropout=0.0,
+    )
+    base.update(kw)
+    return SovitsConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    model = SynthesizerTrn(cfg)
+    B, T_spec = 2, 16
+    T50 = 2 * ((T_spec + 1) // 2)
+    key = jax.random.PRNGKey(0)
+    ssl = jax.random.normal(key, (B, T50, cfg.ssl_dim))
+    spec = jax.random.normal(key, (B, T_spec, cfg.spec_channels)) ** 2
+    spec_lengths = jnp.array([16, 12], jnp.int32)
+    text = jnp.ones((B, 7), jnp.int32)
+    text_lengths = jnp.array([7, 5], jnp.int32)
+    rngs = {"params": key, "slice": key, "latent": key, "dropout": key}
+    variables = model.init(rngs, ssl, spec, spec_lengths, text, text_lengths)
+    return cfg, model, variables, (ssl, spec, spec_lengths, text, text_lengths)
+
+
+def test_forward_shapes(setup):
+    cfg, model, variables, batch = setup
+    ssl, spec, spec_lengths, text, text_lengths = batch
+    key = jax.random.PRNGKey(1)
+    out = model.apply(
+        variables, ssl, spec, spec_lengths, text, text_lengths,
+        rngs={"slice": key, "latent": key})
+    y_hat, commit, ids_slice, y_mask, latents, quantized = out
+    B = ssl.shape[0]
+    assert y_hat.shape == (B, cfg.segment_size, 1)
+    assert np.isfinite(np.asarray(y_hat)).all()
+    assert commit.shape == ()
+    z, z_p, m_p, logs_p, m_q, logs_q = latents
+    assert z.shape == (B, spec.shape[1], cfg.inter_channels)
+    assert quantized.shape == (B, ssl.shape[1], cfg.ssl_dim)
+    # slice indices stay within sequence bounds
+    starts = np.asarray(ids_slice)
+    assert (starts >= 0).all()
+    assert (starts + cfg.segment_frames <= spec.shape[1]).all()
+
+
+def test_infer_and_decode(setup):
+    cfg, model, variables, batch = setup
+    ssl, spec, spec_lengths, text, text_lengths = batch
+    wav, y_mask = model.apply(
+        variables, ssl, spec, spec_lengths, text, text_lengths,
+        method=SynthesizerTrn.infer)
+    assert wav.shape[1] == spec.shape[1] * 640
+    assert np.isfinite(np.asarray(wav)).all()
+
+    codes = model.apply(variables, ssl, method=SynthesizerTrn.extract_latent)
+    assert codes.shape == (ssl.shape[0], ssl.shape[1] // 2)
+    assert codes.dtype == jnp.int32
+    assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < 1024).all()
+
+    wav2 = model.apply(
+        variables, codes[:1], text[:1], text_lengths[:1], spec[:1],
+        spec_lengths[:1], method=SynthesizerTrn.decode)
+    assert wav2.shape[1] == codes.shape[1] * 2 * 640
+    assert np.isfinite(np.asarray(wav2)).all()
+
+
+def test_flow_is_invertible(setup):
+    cfg, model, variables, batch = setup
+    ssl, spec, spec_lengths, text, text_lengths = batch
+    B, T = spec.shape[0], spec.shape[1]
+    x = jax.random.normal(jax.random.PRNGKey(2), (B, T, cfg.inter_channels))
+    mask = jnp.ones((B, T, 1))
+    g = jax.random.normal(jax.random.PRNGKey(3), (B, 1, cfg.gin_channels))
+
+    def fwd(vars_, x):
+        return SynthesizerTrn(cfg).apply(
+            vars_, x, mask, g=g, method=lambda m, *a, **k: m.flow(*a, **k))
+
+    def inv(vars_, x):
+        return SynthesizerTrn(cfg).apply(
+            vars_, x, mask, g=g, reverse=True,
+            method=lambda m, *a, **k: m.flow(*a, **k))
+
+    z = fwd(variables, x)
+    x_rec = inv(variables, z)
+    np.testing.assert_allclose(np.asarray(x_rec), np.asarray(x), atol=1e-4)
+
+
+def test_discriminator_and_losses(setup):
+    cfg, model, variables, batch = setup
+    B, T = 2, 2560
+    key = jax.random.PRNGKey(4)
+    y = jax.random.normal(key, (B, T, 1)) * 0.1
+    y_hat = jax.random.normal(jax.random.PRNGKey(5), (B, T, 1)) * 0.1
+    mpd = MultiPeriodDiscriminator()
+    dvars = mpd.init(key, y, y_hat)
+    y_d_rs, y_d_gs, fmap_rs, fmap_gs = mpd.apply(dvars, y, y_hat)
+    assert len(y_d_rs) == 6  # 1 scale + 5 period discriminators
+
+    d_loss, r_losses, g_losses = losses.discriminator_loss(y_d_rs, y_d_gs)
+    g_adv, _ = losses.generator_adv_loss(y_d_gs)
+    fm = losses.feature_matching_loss(fmap_rs, fmap_gs)
+    assert np.isfinite(float(d_loss)) and np.isfinite(float(g_adv)) and np.isfinite(float(fm))
