@@ -1,0 +1,155 @@
+"""Tests for the s1 GPT model: mask semantics, training loss, AR decode."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from easevoice_trainer_tpu.models.gpt import (
+    Text2SemanticDecoder, T2SConfig, decode_ar, DecodeParams,
+)
+from easevoice_trainer_tpu.models.gpt.t2s import build_hybrid_mask_bias
+
+
+def tiny_cfg(**kw):
+    base = dict(vocab_size=33, phoneme_vocab_size=20, embedding_dim=32,
+                hidden_dim=32, n_heads=4, n_layers=2, ffn_dim=64,
+                dropout=0.0, eos_id=32, max_position=512)
+    base.update(kw)
+    return T2SConfig(**base)
+
+
+def reference_mask(x_len, y_len, x_lens, y_lens):
+    """Numpy re-derivation of the reference mask logic (t2s_model.py:362-391)."""
+    b = len(x_lens)
+    t = x_len + y_len
+    x_attn = np.zeros((x_len, x_len), bool)
+    x_attn = np.pad(x_attn, ((0, 0), (0, y_len)), constant_values=True)
+    y_attn = np.triu(np.ones((y_len, y_len), bool), k=1)
+    y_attn = np.pad(y_attn, ((0, 0), (x_len, 0)), constant_values=False)
+    xy_attn = np.concatenate([x_attn, y_attn], axis=0)  # True = hidden
+    out = np.zeros((b, t, t), bool)
+    for i in range(b):
+        pad = np.concatenate([
+            np.arange(x_len) >= x_lens[i],
+            np.arange(y_len) >= y_lens[i],
+        ])
+        out[i] = xy_attn | pad[None, :]
+    return out
+
+
+def test_hybrid_mask_matches_reference_semantics():
+    x_len, y_len = 5, 4
+    x_lens = np.array([5, 3])
+    y_lens = np.array([4, 2])
+    bias = np.asarray(build_hybrid_mask_bias(
+        x_len, y_len, jnp.array(x_lens), jnp.array(y_lens)))[:, 0]
+    hidden = ~np.isfinite(bias)
+    expected = reference_mask(x_len, y_len, x_lens, y_lens)
+    np.testing.assert_array_equal(hidden, expected)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    cfg = tiny_cfg()
+    model = Text2SemanticDecoder(cfg)
+    key = jax.random.PRNGKey(0)
+    B, Tx, Ty = 2, 6, 8
+    x = jax.random.randint(key, (B, Tx), 0, cfg.phoneme_vocab_size)
+    x_lens = jnp.array([6, 4], jnp.int32)
+    y = jax.random.randint(key, (B, Ty), 0, cfg.vocab_size - 1)
+    y_lens = jnp.array([8, 5], jnp.int32)
+    bert = jax.random.normal(key, (B, Tx, 1024))
+    variables = model.init(key, x, x_lens, y, y_lens, bert)
+    return cfg, model, variables, (x, x_lens, y, y_lens, bert)
+
+
+def test_training_forward(model_and_vars):
+    cfg, model, variables, batch = model_and_vars
+    x, x_lens, y, y_lens, bert = batch
+    out = model.apply(variables, x, x_lens, y, y_lens, bert)
+    assert out["logits"].shape == (2, 8, cfg.vocab_size)
+    assert np.isfinite(float(out["loss"]))
+    assert 0.0 <= float(out["acc"]) <= 1.0
+    # loss sums over every position (reference reduction="sum")
+    assert float(out["loss"]) > 0
+
+
+def test_padding_invariance(model_and_vars):
+    """Logits on valid positions must not depend on pad content."""
+    cfg, model, variables, batch = model_and_vars
+    x, x_lens, y, y_lens, bert = batch
+    out1 = model.apply(variables, x, x_lens, y, y_lens, bert)
+    # scramble padded x positions of row 1 (len 4 -> slots 4,5 are pads)
+    x2 = x.at[1, 4:].set(7)
+    bert2 = bert.at[1, 4:].set(3.21)
+    out2 = model.apply(variables, x2, x_lens, y, y_lens, bert2)
+    l1 = np.asarray(out1["logits"])
+    l2 = np.asarray(out2["logits"])
+    # row 0 untouched; row 1 logits on valid y positions unchanged
+    np.testing.assert_allclose(l1[0], l2[0], atol=1e-5)
+    np.testing.assert_allclose(l1[1, :5], l2[1, :5], atol=1e-5)
+
+
+def test_decode_matches_prefill_numerics(model_and_vars):
+    """Incremental decode must reproduce the full-forward logits."""
+    cfg, model, variables, batch = model_and_vars
+    x, x_lens, y, y_lens, bert = batch
+    B, Tx = x.shape
+    prompts = y[:, :4]
+    cache_len = Tx + 4 + 4
+
+    logits_p, kc, vc = model.apply(
+        variables, x, x_lens, prompts, bert, cache_len,
+        method=Text2SemanticDecoder.prefill)
+
+    # full forward over [x; prompts+next] with the training mask gives the
+    # same next-token logits as prefill
+    out = model.apply(variables, x, x_lens, prompts, jnp.full((B,), 4, jnp.int32), bert)
+    # out logits are over y positions with y_in = [p0..p3, EOS...]; position 3
+    # predicts token 4 — same as prefill's last-position logits
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(out["logits"][:, 3]), atol=2e-4)
+
+
+def test_decode_ar_runs_and_stops(model_and_vars):
+    cfg, model, variables, batch = model_and_vars
+    x, x_lens, y, y_lens, bert = batch
+    prompts = y[:, :4]
+    params = DecodeParams(top_k=5, max_new_tokens=16, min_tokens=2,
+                          repetition_penalty=1.35)
+    tokens, lengths = decode_ar(model, variables, jax.random.PRNGKey(7),
+                                x, x_lens, prompts, bert, params)
+    tokens = np.asarray(tokens)
+    lengths = np.asarray(lengths)
+    assert tokens.shape == (2, 16)
+    assert (lengths <= 16).all() and (lengths >= 0).all()
+    # after a row's length, everything is EOS
+    for b in range(2):
+        assert (tokens[b, lengths[b]:] == cfg.eos_id).all() or lengths[b] == 16
+        assert (tokens[b, :lengths[b]] != cfg.eos_id).all()
+
+    # determinism under fixed seed
+    tokens2, lengths2 = decode_ar(model, variables, jax.random.PRNGKey(7),
+                                  x, x_lens, prompts, bert, params)
+    np.testing.assert_array_equal(tokens, np.asarray(tokens2))
+    np.testing.assert_array_equal(lengths, np.asarray(lengths2))
+
+
+def test_sampling_helpers():
+    from easevoice_trainer_tpu.models.gpt.decode import (
+        apply_repetition_penalty, apply_top_k, apply_top_p)
+    logits = jnp.array([[1.0, -2.0, 3.0, 0.5]])
+    hist = jnp.array([[0, 1]])
+    valid = jnp.array([[True, True]])
+    pen = np.asarray(apply_repetition_penalty(logits, hist, valid, 2.0))
+    np.testing.assert_allclose(pen[0], [0.5, -4.0, 3.0, 0.5])
+
+    tk = np.asarray(apply_top_k(logits, 2))
+    assert np.isneginf(tk[0, 1]) and np.isneginf(tk[0, 3])
+    assert tk[0, 0] == 1.0 and tk[0, 2] == 3.0
+
+    tp = np.asarray(apply_top_p(jnp.array([[10.0, 0.0, 0.0, 0.0]]), 0.9))
+    assert np.isfinite(tp[0, 0])
+    assert np.isneginf(tp[0, 1:]).all()
