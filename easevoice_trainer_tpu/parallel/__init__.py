@@ -1,0 +1,8 @@
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    DATA_AXIS,
+    MODEL_AXIS,
+)

@@ -1,0 +1,56 @@
+"""Device mesh and sharding helpers.
+
+The reference scales with torch DDP over NCCL
+(reference: src/train/sovits.py:219-224, src/train/gpt.py:154-156); the
+TPU-native equivalent is a ``jax.sharding.Mesh`` with named axes:
+
+* ``data``  — batch dimension; gradients are averaged by XLA-inserted psum
+  over ICI (single slice) / DCN (multi-slice).
+* ``model`` — tensor-parallel axis for the GPT's attention heads and FFN
+  (the s2 GAN is small enough to replicate; the GPT benefits from TP at
+  larger widths).
+
+Both training steps are written against these axis names; running
+single-chip is just a 1x1 mesh, no special-casing.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Create a (data, model) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    used = devices[: n_data * n_model]
+    arr = np.array(used).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """device_put every leaf with its leading axis split over ``data``."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def local_batch_multiple(mesh: Mesh) -> int:
+    """Global batch sizes must be a multiple of this (the data-axis size)."""
+    return mesh.shape[DATA_AXIS]

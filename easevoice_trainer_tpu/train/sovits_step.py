@@ -1,0 +1,212 @@
+"""s2 SoVITS GAN training step — one jitted function.
+
+Faithful to the reference loop semantics
+(reference: src/train/sovits.py:459-525):
+
+1. generator forward (random 32-frame latent slice -> HiFi-GAN waveform);
+2. discriminator step on (real slice, stop_gradient(fake)), LSGAN loss,
+   AdamW(0.8, 0.99, eps 1e-9) with per-epoch exponential LR decay;
+3. generator step against the *updated* discriminator: adversarial +
+   feature-matching + 45*mel-L1 + KL + commit, with the text-side param
+   groups (text_embedding / encoder_text / mrte) at ``text_low_lr_rate``.
+
+TPU-native differences:
+
+* the whole D+G interleave is a single jit (no scaler: bf16 needs no loss
+  scaling; fp32 master params);
+* the generator forward runs once — its outputs feed the D update directly
+  and its VJP is replayed for the G gradient (the JAX analogue of torch's
+  retained graph), so the expensive HiFi-GAN stack is not recomputed;
+* gradient mean over the ``data`` mesh axis is inserted by XLA from the
+  shardings — no explicit DDP/allreduce.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.stft import MelConfig, mel_spectrogram, spec_to_mel
+from ..models.sovits import SynthesizerTrn, MultiPeriodDiscriminator, losses
+from ..nn.layers import slice_segments
+
+
+@dataclasses.dataclass(frozen=True)
+class S2TrainHP:
+    """Mirrors configs/s2.json "train"."""
+
+    learning_rate: float = 1e-4
+    betas: Tuple[float, float] = (0.8, 0.99)
+    eps: float = 1e-9
+    lr_decay: float = 0.999875
+    segment_size: int = 20480
+    c_mel: float = 45.0
+    c_kl: float = 1.0
+    text_low_lr_rate: float = 0.4
+    grad_clip: Optional[float] = None
+    weight_decay: float = 0.01   # torch AdamW default
+
+
+class S2TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params_g: Any
+    params_d: Any
+    opt_g: Any
+    opt_d: Any
+
+
+def _text_lr_label(path: Tuple, _leaf) -> str:
+    keys = [getattr(p, "key", str(p)) for p in path]
+    joined = "/".join(keys)
+    for frag in ("enc_p/text_embedding", "enc_p/encoder_text", "enc_p/mrte"):
+        if frag in joined:
+            return "text"
+    return "base"
+
+
+def make_optimizers(hp: S2TrainHP, params_g, steps_per_epoch: int):
+    """(optim_g, optim_d) with per-epoch exponential decay baked in."""
+
+    def lr_schedule(scale: float):
+        def fn(step):
+            epoch = step // max(steps_per_epoch, 1)
+            return hp.learning_rate * scale * (hp.lr_decay ** epoch)
+        return fn
+
+    def adamw(lr_fn):
+        tx = optax.adamw(lr_fn, b1=hp.betas[0], b2=hp.betas[1], eps=hp.eps,
+                         weight_decay=hp.weight_decay)
+        if hp.grad_clip:
+            tx = optax.chain(optax.clip_by_global_norm(hp.grad_clip), tx)
+        return tx
+
+    labels = jax.tree_util.tree_map_with_path(_text_lr_label, params_g)
+    optim_g = optax.multi_transform(
+        {"base": adamw(lr_schedule(1.0)),
+         "text": adamw(lr_schedule(hp.text_low_lr_rate))},
+        labels)
+    optim_d = adamw(lr_schedule(1.0))
+    return optim_g, optim_d
+
+
+def create_train_state(rng, synthesizer: SynthesizerTrn,
+                       discriminator: MultiPeriodDiscriminator,
+                       hp: S2TrainHP, example_batch: Dict[str, jnp.ndarray],
+                       steps_per_epoch: int = 1) -> S2TrainState:
+    g_rngs = {"params": rng, "slice": rng, "latent": rng, "dropout": rng}
+    vars_g = synthesizer.init(
+        g_rngs, example_batch["ssl"], example_batch["spec"],
+        example_batch["spec_lengths"], example_batch["text"],
+        example_batch["text_lengths"])
+    seg = hp.segment_size
+    dummy = jnp.zeros((example_batch["spec"].shape[0], seg, 1))
+    vars_d = discriminator.init(rng, dummy, dummy)
+    params_g, params_d = vars_g["params"], vars_d["params"]
+    optim_g, optim_d = make_optimizers(hp, params_g, steps_per_epoch)
+    return S2TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_g=params_g,
+        params_d=params_d,
+        opt_g=optim_g.init(params_g),
+        opt_d=optim_d.init(params_d),
+    )
+
+
+def make_train_step(
+    synthesizer: SynthesizerTrn,
+    discriminator: MultiPeriodDiscriminator,
+    hp: S2TrainHP,
+    mel_cfg: MelConfig,
+    steps_per_epoch: int = 1,
+) -> Callable:
+    """Build the jitted (state, batch, rng) -> (state, metrics) step."""
+
+    optim_g, optim_d = None, None  # created lazily against real params
+    seg_frames = hp.segment_size // mel_cfg.hop_length
+
+    def gen_forward(params_g, batch, rng):
+        rngs = {"slice": jax.random.fold_in(rng, 1),
+                "latent": jax.random.fold_in(rng, 2),
+                "dropout": jax.random.fold_in(rng, 3)}
+        return synthesizer.apply(
+            {"params": params_g}, batch["ssl"], batch["spec"],
+            batch["spec_lengths"], batch["text"], batch["text_lengths"],
+            rngs=rngs)
+
+    def train_step(state: S2TrainState, batch, rng):
+        nonlocal optim_g, optim_d
+        if optim_g is None:
+            optim_g, optim_d = make_optimizers(hp, state.params_g, steps_per_epoch)
+
+        outs, gen_vjp = jax.vjp(
+            lambda p: gen_forward(p, batch, rng), state.params_g)
+        y_hat, commit_loss, ids_slice, y_mask, latents, _quantized = outs
+        z, z_p, m_p, logs_p, m_q, logs_q = latents
+
+        # ground-truth slices aligned with the generator's random slice
+        mel = spec_to_mel(batch["spec"], mel_cfg)
+        y_mel = slice_segments(mel, ids_slice, seg_frames)
+        wav = batch["wav"]
+        if wav.ndim == 2:
+            wav = wav[..., None]
+        y_slice = slice_segments(wav, ids_slice * mel_cfg.hop_length,
+                                 hp.segment_size)
+        y_hat_mel = mel_spectrogram(y_hat[..., 0], mel_cfg)
+
+        # ---- discriminator step ----
+        def d_loss_fn(params_d):
+            real_l, fake_l, _, _ = discriminator.apply(
+                {"params": params_d}, y_slice, jax.lax.stop_gradient(y_hat))
+            loss, _, _ = losses.discriminator_loss(real_l, fake_l)
+            return loss
+
+        loss_disc, d_grads = jax.value_and_grad(d_loss_fn)(state.params_d)
+        d_updates, opt_d_state = optim_d.update(
+            d_grads, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, d_updates)
+
+        # ---- generator step (against the updated discriminator) ----
+        def g_loss_from_outputs(outs_):
+            y_hat_, commit_, ids_, y_mask_, latents_, _q = outs_
+            _, z_p_, m_p_, logs_p_, _, logs_q_ = latents_
+            y_hat_mel_ = mel_spectrogram(y_hat_[..., 0], mel_cfg)
+            _, fake_l, fmap_r, fmap_g = discriminator.apply(
+                {"params": params_d}, y_slice, y_hat_)
+            loss_mel = jnp.mean(
+                jnp.abs(y_mel.astype(jnp.float32)
+                        - y_hat_mel_.astype(jnp.float32))) * hp.c_mel
+            loss_kl = losses.kl_loss(z_p_, logs_q_, m_p_, logs_p_,
+                                     y_mask_) * hp.c_kl
+            loss_fm = losses.feature_matching_loss(fmap_r, fmap_g)
+            loss_adv, _ = losses.generator_adv_loss(fake_l)
+            total = loss_adv + loss_fm + loss_mel + commit_ * 1.0 + loss_kl
+            return total, {
+                "loss/g/total": total, "loss/g/adv": loss_adv,
+                "loss/g/fm": loss_fm, "loss/g/mel": loss_mel,
+                "loss/g/kl": loss_kl, "loss/g/commit": commit_,
+            }
+
+        (loss_gen_all, g_metrics), out_grads = jax.value_and_grad(
+            g_loss_from_outputs, has_aux=True, allow_int=True)(outs)
+        (g_grads,) = gen_vjp(out_grads)
+        g_updates, opt_g_state = optim_g.update(
+            g_grads, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, g_updates)
+
+        metrics = dict(g_metrics)
+        metrics["loss/d/total"] = loss_disc
+        metrics["grad_norm/g"] = optax.global_norm(g_grads)
+        metrics["grad_norm/d"] = optax.global_norm(d_grads)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params_g=params_g, params_d=params_d,
+            opt_g=opt_g_state, opt_d=opt_d_state)
+        return new_state, metrics
+
+    return train_step
