@@ -1,0 +1,90 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Metric: s2 SoVITS fine-tune training steps/sec on one chip at the real model
+config (configs/s2.json: 192/768 channels, full MPD, batch 8 x 256 spec
+frames ~ 5.1 s clips) — the BASELINE.md north-star metric
+("s2 fine-tune steps/sec/chip").
+
+``vs_baseline`` is null: the reference publishes no numbers (BASELINE.md),
+so there is nothing honest to ratio against yet.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build(batch_size: int, frames: int):
+    import jax
+    from easevoice_trainer_tpu.models.sovits import (
+        SynthesizerTrn, SovitsConfig, MultiPeriodDiscriminator)
+    from easevoice_trainer_tpu.ops.stft import MelConfig, spectrogram
+    from easevoice_trainer_tpu.train import sovits_step
+
+    cfg = SovitsConfig()
+    mel_cfg = MelConfig()
+    hp = sovits_step.S2TrainHP()
+    synth = SynthesizerTrn(cfg)
+    disc = MultiPeriodDiscriminator()
+
+    rng = np.random.default_rng(0)
+    samples = frames * mel_cfg.hop_length
+    wav = rng.uniform(-0.5, 0.5, (batch_size, samples)).astype(np.float32)
+    spec = np.asarray(spectrogram(wav, mel_cfg.n_fft, mel_cfg.hop_length,
+                                  mel_cfg.win_length)).astype(np.float32)
+    T50 = 2 * ((frames + 1) // 2)
+    batch = {
+        "ssl": rng.normal(size=(batch_size, T50, cfg.ssl_dim)).astype(np.float32),
+        "spec": spec,
+        "spec_lengths": np.full((batch_size,), frames, np.int32),
+        "wav": wav,
+        "text": rng.integers(0, cfg.n_symbols, (batch_size, 24)).astype(np.int32),
+        "text_lengths": np.full((batch_size,), 24, np.int32),
+    }
+
+    # init on host CPU; train on the accelerator
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        state = sovits_step.create_train_state(
+            jax.random.PRNGKey(0), synth, disc, hp, batch, steps_per_epoch=100)
+    state = jax.device_put(state, jax.devices()[0])
+    batch = jax.device_put(batch, jax.devices()[0])
+    step = jax.jit(sovits_step.make_train_step(synth, disc, hp, mel_cfg,
+                                               steps_per_epoch=100),
+                   donate_argnums=(0,))
+    return state, batch, step
+
+
+def main():
+    import jax
+
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    state, batch, step = build(batch_size, frames)
+
+    # compile + warmup (2 steps)
+    for i in range(2):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / dt
+    print(json.dumps({
+        "metric": "s2_train_steps_per_sec",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
