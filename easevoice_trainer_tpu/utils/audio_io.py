@@ -1,0 +1,114 @@
+"""Host-side audio IO.
+
+The reference decodes everything through an ffmpeg subprocess
+(reference: src/utils/audio/__init__.py:13-32).  Here:
+
+* 16-bit PCM WAV is read/written natively (stdlib ``wave`` + numpy) — the
+  entire artifact contract (5-wav32k, slices, outputs) is int16 WAV;
+* other formats fall back to the ffmpeg CLI when present;
+* resampling uses polyphase filtering (scipy) on host — feature extraction
+  (32 kHz -> 16 kHz for the SSL model) stays on CPU, batches go to TPU.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+import subprocess
+import wave
+from typing import Optional, Tuple
+
+import numpy as np
+
+MAX_WAV_VALUE = 32768.0
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a WAV file -> (float32 mono in [-1, 1], sample_rate)."""
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n_channels = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sampwidth == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / MAX_WAV_VALUE
+    elif sampwidth == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif sampwidth == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth} in {path}")
+    if n_channels > 1:
+        data = data.reshape(-1, n_channels).mean(axis=1)
+    return data, sr
+
+
+def write_wav(path: str, data: np.ndarray, sr: int) -> None:
+    """Write float [-1,1] or int16 data as 16-bit PCM WAV."""
+    if data.dtype != np.int16:
+        data = np.round(np.clip(data, -1.0, 1.0) * MAX_WAV_VALUE)
+        data = np.clip(data, -32768, 32767).astype(np.int16)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1 if data.ndim == 1 else data.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(data.tobytes())
+
+
+def resample(data: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    if orig_sr == target_sr:
+        return data
+    from scipy.signal import resample_poly
+    from math import gcd
+
+    g = gcd(orig_sr, target_sr)
+    return resample_poly(data, target_sr // g, orig_sr // g).astype(np.float32)
+
+
+def have_ffmpeg() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def load_audio(path: str, target_sr: int) -> np.ndarray:
+    """Decode any audio file to float32 mono at ``target_sr``.
+
+    WAV loads natively; other containers need the ffmpeg CLI
+    (reference load_audio: src/utils/audio/__init__.py:13-32).
+    """
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".wav":
+        try:
+            data, sr = read_wav(path)
+            return resample(data, sr, target_sr)
+        except Exception:
+            pass  # fall through to ffmpeg (e.g. float-PCM wav)
+    if not have_ffmpeg():
+        raise RuntimeError(
+            f"cannot decode {path}: not int16 WAV and ffmpeg is unavailable")
+    cmd = [
+        "ffmpeg", "-nostdin", "-threads", "0", "-i", path,
+        "-f", "f32le", "-acodec", "pcm_f32le", "-ac", "1",
+        "-ar", str(target_sr), "-",
+    ]
+    out = subprocess.run(cmd, capture_output=True, check=True).stdout
+    return np.frombuffer(out, np.float32).copy()
+
+
+def probe_duration(path: str) -> Optional[float]:
+    """Seconds of audio; WAV natively, else ffprobe."""
+    try:
+        with wave.open(path, "rb") as w:
+            return w.getnframes() / w.getframerate()
+    except Exception:
+        pass
+    if shutil.which("ffprobe"):
+        try:
+            out = subprocess.run(
+                ["ffprobe", "-v", "error", "-show_entries", "format=duration",
+                 "-of", "default=noprint_wrappers=1:nokey=1", path],
+                capture_output=True, check=True).stdout
+            return float(out.strip())
+        except Exception:
+            return None
+    return None
