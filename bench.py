@@ -33,8 +33,9 @@ def build(batch_size: int, frames: int):
     rng = np.random.default_rng(0)
     samples = frames * mel_cfg.hop_length
     wav = rng.uniform(-0.5, 0.5, (batch_size, samples)).astype(np.float32)
-    spec = np.asarray(spectrogram(wav, mel_cfg.n_fft, mel_cfg.hop_length,
-                                  mel_cfg.win_length)).astype(np.float32)
+    from easevoice_trainer_tpu.train.data import spectrogram_np
+    spec = np.stack([spectrogram_np(w, mel_cfg.n_fft, mel_cfg.hop_length,
+                                    mel_cfg.win_length) for w in wav])
     T50 = 2 * ((frames + 1) // 2)
     batch = {
         "ssl": rng.normal(size=(batch_size, T50, cfg.ssl_dim)).astype(np.float32),
@@ -45,10 +46,12 @@ def build(batch_size: int, frames: int):
         "text_lengths": np.full((batch_size,), 24, np.int32),
     }
 
-    # init on host CPU; train on the accelerator
+    # init on host CPU (keys included — a TPU-resident key would force a slow
+    # first device-to-host transfer); train on the accelerator
     with jax.default_device(jax.local_devices(backend="cpu")[0]):
         state = sovits_step.create_train_state(
             jax.random.PRNGKey(0), synth, disc, hp, batch, steps_per_epoch=100)
+        state = jax.tree_util.tree_map(np.asarray, state)
     state = jax.device_put(state, jax.devices()[0])
     batch = jax.device_put(batch, jax.devices()[0])
     step = jax.jit(sovits_step.make_train_step(synth, disc, hp, mel_cfg,
