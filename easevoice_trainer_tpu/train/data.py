@@ -146,11 +146,11 @@ class S2Dataset:
         ssl = _load_feature_file(os.path.join(self.path4, e.name))
         if ssl is None:
             raise FileNotFoundError(f"missing SSL features for {e.name}")
-        ssl = np.squeeze(ssl)          # (768, T) or (T, 768)
-        if ssl.shape[0] == 768 and ssl.ndim == 2:
-            ssl = ssl.T                 # -> (T, 768)
-        # pad/trim ssl to the spec frame count (data_utils.py:106-108)
+        ssl = np.squeeze(ssl)          # (C, T) or (T, C)
         T = spec.shape[0]
+        if ssl.ndim == 2 and ssl.shape[0] != T and abs(ssl.shape[1] - T) <= 1:
+            ssl = ssl.T                 # stored channels-first -> (T, C)
+        # pad/trim ssl to the spec frame count (data_utils.py:106-108)
         if ssl.shape[0] < T:
             ssl = np.concatenate(
                 [ssl, np.repeat(ssl[-1:], T - ssl.shape[0], axis=0)], axis=0)
@@ -228,8 +228,9 @@ def collate_s2(items: List[Dict[str, np.ndarray]], frames: int,
     """Pad a list of loaded items into one static-shape s2 batch."""
     B = len(items)
     n_freq = items[0]["spec"].shape[1]
+    ssl_dim = items[0]["ssl"].shape[1]
     batch = {
-        "ssl": np.zeros((B, frames, 768), np.float32),
+        "ssl": np.zeros((B, frames, ssl_dim), np.float32),
         "spec": np.zeros((B, frames, n_freq), np.float32),
         "spec_lengths": np.zeros((B,), np.int32),
         "wav": np.zeros((B, frames * hop), np.float32),
