@@ -1,0 +1,149 @@
+"""Inference pipeline tests: segmentation, preprocessing, end-to-end TTS.run
+with tiny random models."""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from easevoice_trainer_tpu.inference.segmentation import (
+    SplitMethods, get_split_method, get_split_names)
+from easevoice_trainer_tpu.inference.preprocessor import (
+    TextPreprocessor, detect_language_runs, merge_short_text_in_array)
+
+
+def test_split_methods_registry():
+    names = get_split_names()
+    assert set(names) == {"no_split", "by_4_sentences", "by_50_chars",
+                          "by_chinese_period", "by_english_period",
+                          "by_punctuation"}
+
+
+def test_split_by_punctuation():
+    fn = get_split_method(SplitMethods.ByPunctuation)
+    out = fn("Hello, world. How are you?")
+    assert out.split("\n") == ["Hello,", " world.", " How are you?"]
+    # decimal points survive
+    out2 = fn("pi is 3.14, ok.")
+    assert "3.14," in out2.split("\n")[0]
+
+
+def test_split_by_4_sentences():
+    fn = get_split_method(SplitMethods.By4Sentences)
+    text = "一。二。三。四。五。六。"
+    out = fn(text).split("\n")
+    assert out[0] == "一。二。三。四。"
+    assert out[1] == "五。六。"
+
+
+def test_detect_language_runs():
+    runs = detect_language_runs("hello你好world")
+    assert [l for l, _ in runs] == ["en", "zh", "en"]
+    assert runs[1][1] == "你好"
+
+
+def test_merge_short_text():
+    assert merge_short_text_in_array(["ab", "cd", "efgh"], 5) == ["abcdefgh"]
+    assert merge_short_text_in_array(["abcde", "fg"], 5) == ["abcdefg"]
+    assert merge_short_text_in_array(["abcde", "fghij"], 5) == ["abcde", "fghij"]
+
+
+def test_preprocessor_en():
+    pp = TextPreprocessor(None)
+    segs = pp.preprocess("Hello world. This is a test of the pipeline.",
+                         "en", "by_english_period")
+    assert len(segs) >= 1
+    for s in segs:
+        assert len(s["phones"]) > 0
+        assert s["bert_features"].shape == (1024, len(s["phones"]))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end with tiny models
+# ---------------------------------------------------------------------------
+
+from easevoice_trainer_tpu.models.sovits import SynthesizerTrn, SovitsConfig
+from easevoice_trainer_tpu.models.gpt import Text2SemanticDecoder, T2SConfig
+from easevoice_trainer_tpu.models.cnhubert import CNHubert, HubertConfig
+from easevoice_trainer_tpu.inference.tts import TTS, TTSConfig, InferenceTaskData
+from easevoice_trainer_tpu.utils import audio_io
+
+
+@pytest.fixture(scope="module")
+def tiny_tts(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("tts")
+    key = jax.random.PRNGKey(0)
+
+    vits_cfg = SovitsConfig(
+        spec_channels=1025, segment_size=2560, inter_channels=32,
+        hidden_channels=32, filter_channels=64, n_heads=2, n_layers=2,
+        upsample_initial_channel=32, gin_channels=32, ssl_dim=64,
+        n_symbols=732, p_dropout=0.0)
+    vits = SynthesizerTrn(vits_cfg)
+    vvars = vits.init(
+        {"params": key, "slice": key, "latent": key, "dropout": key},
+        jnp.zeros((1, 8, 64)), jnp.zeros((1, 8, 1025)), jnp.array([8]),
+        jnp.zeros((1, 4), jnp.int32), jnp.array([4]))
+
+    t2s_cfg = T2SConfig(vocab_size=1025, phoneme_vocab_size=732,
+                        embedding_dim=32, hidden_dim=32, n_heads=4,
+                        n_layers=2, ffn_dim=64, dropout=0.0, eos_id=1024)
+    t2s = Text2SemanticDecoder(t2s_cfg)
+    tvars = t2s.init(key, jnp.zeros((1, 4), jnp.int32), jnp.array([4]),
+                     jnp.zeros((1, 6), jnp.int32), jnp.array([6]),
+                     jnp.zeros((1, 4, 1024)))
+
+    hcfg = HubertConfig(conv_dim=(16,) * 7, hidden_size=64, num_layers=2,
+                        num_heads=4, intermediate_size=128,
+                        pos_conv_kernel=16, pos_conv_groups=4)
+    hubert = CNHubert(hcfg)
+    hvars = hubert.init(key, jnp.zeros((1, 16000)))
+
+    cfg = TTSConfig(str(tmp / "tts_infer.yaml"))
+    # tiny hubert emits 64-d features; the tiny vits consumes ssl_dim=64
+    tts = TTS(cfg, models=dict(
+        vits=vits, vits_cfg=vits_cfg, vits_params=vvars["params"],
+        t2s=t2s, t2s_cfg=t2s_cfg, t2s_params=tvars["params"],
+        cnhubert=hubert, cnhubert_params=hvars, bert=None))
+
+    rng = np.random.default_rng(0)
+    ref = rng.uniform(-0.3, 0.3, 32000 * 4).astype(np.float32)  # 4 s
+    ref_path = str(tmp / "ref.wav")
+    audio_io.write_wav(ref_path, ref, 32000)
+    return tts, ref_path
+
+
+def test_tts_run_end_to_end(tiny_tts):
+    tts, ref_path = tiny_tts
+    task = InferenceTaskData(
+        text="Hello there. General Kenobi.", text_lang="en",
+        ref_audio_path=ref_path, prompt_text="", top_k=5,
+        text_split_method="by_english_period", batch_size=2)
+    outputs = list(tts.run(task))
+    assert len(outputs) == 1
+    sr, audio = outputs[0]
+    assert sr == 32000
+    assert audio.dtype == np.int16
+    assert len(audio) > sr // 10  # produced something non-trivial
+    assert np.abs(audio).max() <= 32767
+
+
+def test_tts_ref_audio_validation(tiny_tts, tmp_path):
+    tts, ref_path = tiny_tts
+    short = str(tmp_path / "short.wav")
+    audio_io.write_wav(short, np.zeros(16000, np.float32), 32000)  # 0.5 s
+    with pytest.raises(ValueError, match="3-10"):
+        tts.set_ref_audio(short)
+    with pytest.raises(Exception):
+        tts.set_ref_audio(str(tmp_path / "missing.wav"))
+
+
+def test_to_batch_ordering():
+    segs = [{"phones": [0] * n} for n in (30, 5, 18, 7)]
+    batches, idxs = TTS.to_batch(segs, batch_size=2, split_bucket=True)
+    flat = [i for b in idxs for i in b]
+    assert sorted(flat) == [0, 1, 2, 3]
+    # sorted by length: first batch holds the two shortest
+    assert set(idxs[0]) == {1, 3}
