@@ -62,6 +62,7 @@ class InferenceTaskData:
     sovits_path: str = ""
     gpt_path: str = ""
     output_dir: str = ""
+    project_dir: str = ""
 
 
 class TTSConfig:
@@ -220,15 +221,14 @@ class TTS:
 
     def _extract_semantic(self, wav32k: np.ndarray) -> np.ndarray:
         """wav 32 kHz -> prompt semantic tokens (tts.py:411-437)."""
-        from ..models.cnhubert import normalize_waveform
-
-        # reference pads 0.3 s of silence then resamples to 16 kHz
+        # reference pads 0.3 s of silence then resamples to 16 kHz and feeds
+        # the RAW [-1,1] waveform to hubert (tts.py:411-437 uses no
+        # feature-extractor normalization)
         wav32k = np.concatenate(
             [wav32k, np.zeros(int(self.cfg.sampling_rate * 0.3), np.float32)])
         wav16k = audio_io.resample(wav32k, self.cfg.sampling_rate, 16000)
         ssl = self.cnhubert.apply(
-            self.cnhubert_params,
-            normalize_waveform(wav16k[None, :]))          # (1, T50, 768)
+            self.cnhubert_params, wav16k[None, :])         # (1, T50, 768)
         codes = self.vits.apply(
             {"params": self.vits_params}, np.asarray(ssl),
             method=SynthesizerTrn.extract_latent)          # (1, T25)
