@@ -1,0 +1,468 @@
+"""UVR5 vocal separation: VR-architecture CascadedASPPNet in JAX.
+
+Rebuild of the reference VR separation path (reference:
+src/audiokit/uvr5/separate.py:78-273, lib_v5/vr_network/{nets,layers}.py):
+
+* multiband analysis: per-band STFT at band-specific sr/hop/n_fft, cropped
+  and stacked into one magnitude "combined spectrogram" (spec_utils.py:91);
+* a three-stage cascaded U-Net with ASPP predicts a sigmoid vocal mask over
+  512-frame windows (batched, overlapping by a 128-frame offset);
+* mask * spec -> per-band iSTFT with low/high-pass fades -> waveform.
+
+The model layout table (by parameter count: 16983/33966/61968/123812/537227)
+and the band-config JSONs are vendored verbatim — they are released model
+metadata.  Weights load from the standard UVR5 ``.pth`` files
+(models/uvr5_weights).  MDX-Net (onnx) and BS-Roformer variants are separate
+follow-ups [[uvr5-mdx-roformer]].
+
+Dispatcher (reference: src/service/audio.py:98-106): model names containing
+"MDX" or "roformer" route to those engines; "DeEcho" to the nets_new variant;
+everything else to this VR net.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..utils import audio_io, paths
+from ..utils.logger import logger
+
+PARAMS_DIR = os.path.join(os.path.dirname(__file__), "uvr5_params")
+
+# layout table keyed by torch parameter count (nets.py:130-206)
+_LAYOUTS = {
+    16983: dict(ch1=16, ch2=8, ch3=16, enlarge=False),
+    33966: dict(ch1=16, ch2=8, ch3=16, enlarge=True),
+    61968: dict(ch1=32, ch2=16, ch3=32, enlarge=False),
+    123812: dict(ch1=32, ch2=16, ch3=32, enlarge=False),
+    123821: dict(ch1=32, ch2=16, ch3=32, enlarge=False),
+    537227: dict(ch1=64, ch2=32, ch3=64, enlarge=True),
+    537238: dict(ch1=64, ch2=32, ch3=64, enlarge=True),
+}
+
+
+def _bilinear_x2_align_corners(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, 2H, 2W, C), torch align_corners=True semantics."""
+    b, h, w, c = x.shape
+
+    def resize_axis(arr, axis, new):
+        old = arr.shape[axis]
+        if old == 1:
+            return jnp.repeat(arr, new, axis=axis)
+        pos = jnp.linspace(0.0, old - 1.0, new)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, old - 1)
+        hi = jnp.clip(lo + 1, 0, old - 1)
+        wgt = (pos - lo).astype(arr.dtype)
+        shape = [1] * arr.ndim
+        shape[axis] = new
+        wgt = wgt.reshape(shape)
+        return (jnp.take(arr, lo, axis=axis) * (1 - wgt)
+                + jnp.take(arr, hi, axis=axis) * wgt)
+
+    return resize_axis(resize_axis(x, 1, 2 * h), 2, 2 * w)
+
+
+class ConvBNActiv(nn.Module):
+    nout: int
+    ksize: int = 3
+    stride: int = 1
+    pad: int = 1
+    dilation: int = 1
+    separable: bool = False
+    leaky: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.separable:
+            nin = x.shape[-1]
+            x = nn.Conv(nin, (self.ksize, self.ksize),
+                        strides=(self.stride, self.stride),
+                        padding=[(self.pad, self.pad)] * 2,
+                        kernel_dilation=(self.dilation, self.dilation),
+                        feature_group_count=nin, use_bias=False,
+                        name="depthwise")(x)
+            x = nn.Conv(self.nout, (1, 1), use_bias=False, name="pointwise")(x)
+        else:
+            x = nn.Conv(self.nout, (self.ksize, self.ksize),
+                        strides=(self.stride, self.stride),
+                        padding=[(self.pad, self.pad)] * 2,
+                        kernel_dilation=(self.dilation, self.dilation),
+                        use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=True, name="bn")(x)
+        return jnp.where(x >= 0, x, x * 0.01) if self.leaky else nn.relu(x)
+
+
+class VREncoder(nn.Module):
+    nout: int
+
+    @nn.compact
+    def __call__(self, x):
+        skip = ConvBNActiv(self.nout, 3, 1, 1, leaky=True, name="conv1")(x)
+        h = ConvBNActiv(self.nout, 3, 2, 1, leaky=True, name="conv2")(skip)
+        return h, skip
+
+
+class VRDecoder(nn.Module):
+    nout: int
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        x = _bilinear_x2_align_corners(x)
+        if skip is not None:
+            # center-crop the skip to x (spec_utils.crop_center)
+            sh, sw = skip.shape[1], skip.shape[2]
+            th, tw = x.shape[1], x.shape[2]
+            top = (sh - th) // 2
+            left = (sw - tw) // 2
+            skip = skip[:, top:top + th, left:left + tw]
+            x = jnp.concatenate([x, skip], axis=-1)
+        return ConvBNActiv(self.nout, 3, 1, 1, name="conv")(x)
+
+
+class ASPPModule(nn.Module):
+    nout: int
+    dilations: Tuple[int, int, int] = (4, 8, 16)
+    enlarge: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        pooled = jnp.mean(x, axis=1, keepdims=True)       # pool the freq axis
+        feat1 = ConvBNActiv(c, 1, 1, 0, name="conv1")(pooled)
+        feat1 = jnp.broadcast_to(feat1, (b, h, w, feat1.shape[-1]))
+        feats = [feat1, ConvBNActiv(c, 1, 1, 0, name="conv2")(x)]
+        names = ["conv3", "conv4", "conv5"]
+        dils = list(self.dilations)
+        if self.enlarge:
+            names += ["conv6", "conv7"]
+            dils += [self.dilations[2], self.dilations[2]]
+        for name, d in zip(names, dils):
+            feats.append(ConvBNActiv(c, 3, 1, d, dilation=d, separable=True,
+                                     name=name)(x))
+        out = jnp.concatenate(feats, axis=-1)
+        return ConvBNActiv(self.nout, 1, 1, 0, name="bottleneck")(out)
+
+
+class BaseASPPNet(nn.Module):
+    ch: int
+    enlarge: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        ch = self.ch
+        h, e1 = VREncoder(ch, name="enc1")(x)
+        h, e2 = VREncoder(ch * 2, name="enc2")(h)
+        h, e3 = VREncoder(ch * 4, name="enc3")(h)
+        h, e4 = VREncoder(ch * 8, name="enc4")(h)
+        h = ASPPModule(ch * 16, enlarge=self.enlarge, name="aspp")(h)
+        h = VRDecoder(ch * 8, name="dec4")(h, e4)
+        h = VRDecoder(ch * 4, name="dec3")(h, e3)
+        h = VRDecoder(ch * 2, name="dec2")(h, e2)
+        h = VRDecoder(ch, name="dec1")(h, e1)
+        return h
+
+
+class CascadedASPPNet(nn.Module):
+    """Input (B, bins, frames, 2) magnitude; output sigmoid mask."""
+
+    n_fft: int
+    ch1: int = 32
+    ch2: int = 16
+    ch3: int = 32
+    enlarge: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        max_bin = self.n_fft // 2
+        output_bin = self.n_fft // 2 + 1
+        mix = x
+        x = x[:, :max_bin]
+        bandw = x.shape[1] // 2
+        aux1 = jnp.concatenate([
+            BaseASPPNet(self.ch1, self.enlarge, name="stg1_low")(x[:, :bandw]),
+            BaseASPPNet(self.ch1, self.enlarge, name="stg1_high")(x[:, bandw:]),
+        ], axis=1)
+        h = jnp.concatenate([x, aux1], axis=-1)
+        h = ConvBNActiv(self.ch2, 1, 1, 0, name="stg2_bridge")(h)
+        aux2 = BaseASPPNet(self.ch2 * 2, self.enlarge, name="stg2_full")(h)
+        h = jnp.concatenate([x, aux1, aux2], axis=-1)
+        h = ConvBNActiv(self.ch3, 1, 1, 0, name="stg3_bridge")(h)
+        h = BaseASPPNet(self.ch3 * 2, self.enlarge, name="stg3_full")(h)
+        mask = nn.sigmoid(nn.Conv(2, (1, 1), use_bias=False, name="out")(h))
+        pad = output_bin - mask.shape[1]
+        mask = jnp.concatenate(
+            [mask, jnp.repeat(mask[:, -1:], pad, axis=1)], axis=1)
+        return mask * mix
+
+
+# ---------------------------------------------------------------------------
+# torch .pth -> flax conversion
+# ---------------------------------------------------------------------------
+
+
+def _convert_convbn(state, tprefix, out, fprefix, separable=False):
+    if separable:
+        out[f"{fprefix}/depthwise/kernel"] = state[
+            f"{tprefix}.conv.0.weight"].transpose(2, 3, 1, 0)
+        out[f"{fprefix}/pointwise/kernel"] = state[
+            f"{tprefix}.conv.1.weight"].transpose(2, 3, 1, 0)
+        bn = f"{tprefix}.conv.2"
+    else:
+        out[f"{fprefix}/conv/kernel"] = state[
+            f"{tprefix}.conv.0.weight"].transpose(2, 3, 1, 0)
+        bn = f"{tprefix}.conv.1"
+    out[f"{fprefix}/bn?scale"] = state[f"{bn}.weight"]
+    out[f"{fprefix}/bn?bias"] = state[f"{bn}.bias"]
+    out[f"{fprefix}/bn?mean"] = state[f"{bn}.running_mean"]
+    out[f"{fprefix}/bn?var"] = state[f"{bn}.running_var"]
+
+
+def _convert_asppnet(state, tprefix, out, fprefix, enlarge):
+    for enc in ("enc1", "enc2", "enc3", "enc4"):
+        _convert_convbn(state, f"{tprefix}.{enc}.conv1", out,
+                        f"{fprefix}/{enc}/conv1")
+        _convert_convbn(state, f"{tprefix}.{enc}.conv2", out,
+                        f"{fprefix}/{enc}/conv2")
+    # ASPP: conv1 is Sequential(AdaptiveAvgPool2d, Conv2DBNActiv)
+    _convert_convbn(state, f"{tprefix}.aspp.conv1.1", out,
+                    f"{fprefix}/aspp/conv1")
+    _convert_convbn(state, f"{tprefix}.aspp.conv2", out,
+                    f"{fprefix}/aspp/conv2")
+    convs = ["conv3", "conv4", "conv5"] + (["conv6", "conv7"]
+                                           if enlarge else [])
+    for cv in convs:
+        _convert_convbn(state, f"{tprefix}.aspp.{cv}", out,
+                        f"{fprefix}/aspp/{cv}", separable=True)
+    _convert_convbn(state, f"{tprefix}.aspp.bottleneck.0", out,
+                    f"{fprefix}/aspp/bottleneck")
+    for dec in ("dec4", "dec3", "dec2", "dec1"):
+        _convert_convbn(state, f"{tprefix}.{dec}.conv", out,
+                        f"{fprefix}/{dec}/conv")
+
+
+def convert_vr_weights(state: Dict[str, np.ndarray]):
+    """torch CascadedASPPNet state -> (params, batch_stats, layout)."""
+    n_params = int(sum(v.size for v in state.values()))
+    layout = _LAYOUTS.get(n_params)
+    if layout is None:
+        # nearest known layout by parameter count
+        key = min(_LAYOUTS, key=lambda k: abs(k - n_params))
+        logger.warning("unknown VR layout size %d; using %d", n_params, key)
+        layout = _LAYOUTS[key]
+    flat: Dict[str, np.ndarray] = {}
+    _convert_asppnet(state, "stg1_low_band_net", flat, "stg1_low",
+                     layout["enlarge"])
+    _convert_asppnet(state, "stg1_high_band_net", flat, "stg1_high",
+                     layout["enlarge"])
+    _convert_convbn(state, "stg2_bridge", flat, "stg2_bridge")
+    _convert_asppnet(state, "stg2_full_band_net", flat, "stg2_full",
+                     layout["enlarge"])
+    _convert_convbn(state, "stg3_bridge", flat, "stg3_bridge")
+    _convert_asppnet(state, "stg3_full_band_net", flat, "stg3_full",
+                     layout["enlarge"])
+    flat["out/kernel"] = state["out.weight"].transpose(2, 3, 1, 0)
+
+    from ..train.ckpt import unflatten_tree
+
+    params = {}
+    batch_stats = {}
+    for k, v in flat.items():
+        if "?" in k:
+            base, stat = k.split("?")
+            if stat in ("scale", "bias"):
+                params[f"{base}/{stat}"] = v
+            else:
+                batch_stats[f"{base}/{stat}"] = v
+        else:
+            params[k] = v
+    return (unflatten_tree(params), unflatten_tree(batch_stats), layout)
+
+
+# ---------------------------------------------------------------------------
+# multiband spectrogram utilities (spec_utils.py semantics)
+# ---------------------------------------------------------------------------
+
+
+def load_band_params(name: str = "4band_v2.json") -> dict:
+    with open(os.path.join(PARAMS_DIR, name), encoding="utf8") as f:
+        return json.load(f)
+
+
+def _stft(wav: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
+    """Complex STFT, centered (librosa-style), (2, bins, frames) for stereo."""
+    if wav.ndim == 1:
+        wav = np.stack([wav, wav])
+    pad = n_fft // 2
+    out = []
+    for ch in wav:
+        y = np.pad(ch, (pad, pad), mode="reflect")
+        frames = 1 + (len(y) - n_fft) // hop
+        idx = np.arange(frames)[:, None] * hop + np.arange(n_fft)[None, :]
+        win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+        out.append(np.fft.rfft(y[idx] * win, axis=-1).T)
+    return np.stack(out)
+
+
+def _istft(spec: np.ndarray, hop: int) -> np.ndarray:
+    """(2, bins, frames) complex -> (2, samples), hann overlap-add."""
+    n_fft = (spec.shape[1] - 1) * 2
+    win = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    out = []
+    for ch in spec:
+        frames = np.fft.irfft(ch.T, n=n_fft, axis=-1)
+        total = n_fft + hop * (frames.shape[0] - 1)
+        y = np.zeros(total, np.float32)
+        norm = np.zeros(total, np.float32)
+        for i in range(frames.shape[0]):
+            y[i * hop:i * hop + n_fft] += frames[i] * win
+            norm[i * hop:i * hop + n_fft] += win ** 2
+        y /= np.maximum(norm, 1e-8)
+        out.append(y[n_fft // 2:-(n_fft // 2)])
+    return np.stack(out)
+
+
+class VRSeparator:
+    """Windowed inference over the combined multiband spectrogram."""
+
+    WINDOW = 512
+    OFFSET = 128
+
+    def __init__(self, model_path: str, band_config: str = "4band_v2.json",
+                 is_half: bool = False):
+        import torch
+
+        raw = torch.load(model_path, map_location="cpu", weights_only=False)
+        state = {k: v.detach().to(torch.float32).numpy()
+                 for k, v in raw.items() if hasattr(v, "detach")}
+        params, batch_stats, layout = convert_vr_weights(state)
+        self.mp = load_band_params(band_config)
+        self.model = CascadedASPPNet(
+            n_fft=self.mp["bins"] * 2, ch1=layout["ch1"], ch2=layout["ch2"],
+            ch3=layout["ch3"], enlarge=layout["enlarge"])
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        self._apply = jax.jit(self.model.apply)
+
+    # ---- multiband analysis ------------------------------------------------
+
+    def _band_specs(self, wav44: np.ndarray) -> List[np.ndarray]:
+        bands = self.mp["band"]
+        specs = []
+        for b in sorted(bands, key=int):
+            bp = bands[b]
+            band_wav = wav44 if bp["sr"] == self.mp["sr"] else \
+                audio_io.resample(wav44, self.mp["sr"], bp["sr"])
+            specs.append(_stft(band_wav, bp["n_fft"], bp["hl"]))
+        return specs
+
+    def _combine(self, specs: List[np.ndarray]) -> np.ndarray:
+        """Stack cropped band bins -> (2, bins, frames) complex."""
+        bands = self.mp["band"]
+        frames = min(s.shape[2] for s in specs)
+        rows = []
+        for s, b in zip(specs, sorted(bands, key=int)):
+            bp = bands[b]
+            rows.append(s[:, bp["crop_start"]:bp["crop_stop"], :frames])
+        comb = np.concatenate(rows, axis=1)
+        pad = self.mp["bins"] + 1 - comb.shape[1]
+        if pad > 0:
+            comb = np.pad(comb, ((0, 0), (0, pad), (0, 0)))
+        return comb[:, :self.mp["bins"] + 1]
+
+    def _split_mask(self, masked: np.ndarray,
+                    specs: List[np.ndarray]) -> List[np.ndarray]:
+        """Un-stack a combined complex spec back into per-band specs."""
+        bands = self.mp["band"]
+        out = []
+        offset = 0
+        for s, b in zip(specs, sorted(bands, key=int)):
+            bp = bands[b]
+            width = bp["crop_stop"] - bp["crop_start"]
+            band = np.zeros_like(s[:, :, :masked.shape[2]])
+            band[:, bp["crop_start"]:bp["crop_stop"]] = \
+                masked[:, offset:offset + width]
+            offset += width
+            out.append(band)
+        return out
+
+    # ---- inference -------------------------------------------------------------
+
+    def _predict_mag(self, mag_norm: np.ndarray) -> np.ndarray:
+        """(2, bins+1, frames) normalized magnitude -> masked magnitude."""
+        n_frames = mag_norm.shape[2]
+        window, offset = self.WINDOW, self.OFFSET
+        step = window - 2 * offset
+        pad_total = step - (n_frames % step) if n_frames % step else 0
+        x = np.pad(mag_norm, ((0, 0), (0, 0), (offset, offset + pad_total)),
+                   mode="constant")
+        chunks = []
+        starts = list(range(0, x.shape[2] - window + 1, step))
+        for s in starts:
+            chunks.append(x[:, :, s:s + window])
+        batch = np.stack([c.transpose(1, 2, 0) for c in chunks])  # (N,bins,W,2)
+        masked = np.asarray(self._apply(self.variables,
+                                        jnp.asarray(batch, jnp.float32)))
+        masked = masked[:, :, offset:window - offset]              # trim edges
+        out = np.concatenate(list(masked), axis=1)[:, :n_frames]   # (bins,T,2)
+        return out.transpose(2, 0, 1)
+
+    def separate(self, wav: np.ndarray, sr: int
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """mono/stereo float wav -> (vocals, accompaniment) mono float."""
+        if sr != self.mp["sr"]:
+            wav = audio_io.resample(wav, sr, self.mp["sr"])
+        specs = self._band_specs(wav)
+        comb = self._combine(specs)
+        mag = np.abs(comb).astype(np.float32)
+        coef = max(mag.max(), 1e-6)
+        masked_mag = self._predict_mag(mag / coef) * coef
+        phase = np.exp(1.0j * np.angle(comb))
+        vocal_spec = masked_mag * phase
+
+        inst_spec = comb - vocal_spec
+        vocal = self._multiband_to_wave(self._split_mask(vocal_spec, specs))
+        inst = self._multiband_to_wave(self._split_mask(inst_spec, specs))
+        n = min(len(vocal), len(inst))
+        return vocal[:n], inst[:n]
+
+    def _multiband_to_wave(self, band_specs: List[np.ndarray]) -> np.ndarray:
+        bands = self.mp["band"]
+        total = None
+        for spec, b in zip(band_specs, sorted(bands, key=int)):
+            bp = bands[b]
+            wav_b = _istft(spec, bp["hl"]).mean(axis=0)
+            if bp["sr"] != self.mp["sr"]:
+                wav_b = audio_io.resample(wav_b, bp["sr"], self.mp["sr"])
+            if total is None:
+                total = wav_b
+            else:
+                n = min(len(total), len(wav_b))
+                total = total[:n] + wav_b[:n]
+        return total if total is not None else np.zeros(1, np.float32)
+
+
+# ---------------------------------------------------------------------------
+# dispatcher
+# ---------------------------------------------------------------------------
+
+
+def get_separator(model_name: str):
+    """Pick a separation engine by model name (service/audio.py:98-106)."""
+    lowered = model_name.lower()
+    if "mdx" in lowered or "roformer" in lowered:
+        raise NotImplementedError(
+            f"separator '{model_name}' needs the MDX/roformer engine "
+            "(not yet ported)")
+    weights_root = os.path.join(paths.get_base_path(), "models",
+                                "uvr5_weights")
+    path = os.path.join(weights_root, model_name + ".pth")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"UVR5 weights not found: {path}")
+    return VRSeparator(path)
