@@ -59,11 +59,20 @@ def write_wav(path: str, data: np.ndarray, sr: int) -> None:
 def resample(data: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     if orig_sr == target_sr:
         return data
-    from scipy.signal import resample_poly
     from math import gcd
 
     g = gcd(orig_sr, target_sr)
-    return resample_poly(data, target_sr // g, orig_sr // g).astype(np.float32)
+    up, down = target_sr // g, orig_sr // g
+    try:  # native polyphase kernel when built (csrc/evaudio.cpp)
+        from .. import native
+
+        if native.available():
+            return native.resample_poly(data, up, down)
+    except Exception:
+        pass
+    from scipy.signal import resample_poly
+
+    return resample_poly(data, up, down).astype(np.float32)
 
 
 def have_ffmpeg() -> bool:
