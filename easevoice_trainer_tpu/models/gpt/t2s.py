@@ -284,7 +284,7 @@ class Text2SemanticDecoder(nn.Module):
         acc_mask = (targets != c.eos_id).astype(jnp.float32)
         acc = (hit * acc_mask).sum() / jnp.maximum(acc_mask.sum(), 1.0)
         return {"loss": loss, "acc": acc, "logits": logits,
-                "num_targets": acc_mask.sum()}
+                "targets": targets, "num_targets": acc_mask.sum()}
 
     # ---- inference: prefill ----------------------------------------------
 

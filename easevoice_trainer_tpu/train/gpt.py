@@ -76,6 +76,7 @@ class GPTTrain:
             lr_end=opt_cfg.get("lr_end", 1e-4),
             warmup_steps=opt_cfg.get("warmup_steps", 2000),
             decay_steps=opt_cfg.get("decay_steps", 40000),
+            if_dpo=params.if_dpo,
         )
         self.seed = train_cfg.get("seed", 1234)
         self.epochs = params.total_epochs
@@ -187,6 +188,15 @@ class GPTTrain:
                 batch = data_mod.collate_gpt(
                     [dataset.load_item(i) for i in idxs], max_ph,
                     _round_up(batcher.padded_frames(bucket_id), 2))
+                if self.params.if_dpo:
+                    from ..models.gpt.dpo import make_reject_y
+
+                    rej, rej_lens = make_reject_y(
+                        batch["semantic_ids"], batch["semantic_ids_len"],
+                        np.random.default_rng(self.seed + global_step),
+                        max_len=batch["semantic_ids"].shape[1])
+                    batch["reject_semantic_ids"] = rej
+                    batch["reject_semantic_ids_len"] = rej_lens
                 rng = jax.random.fold_in(jax.random.PRNGKey(self.seed),
                                          global_step)
                 state, metrics = step_fn(state, batch, rng)

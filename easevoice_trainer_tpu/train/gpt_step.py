@@ -40,6 +40,7 @@ class GPTTrainHP:
     betas: Tuple[float, float] = (0.9, 0.95)
     clipping_scale: float = 2.0
     grad_accum: int = 4
+    if_dpo: bool = False
 
 
 def warmup_cosine_schedule(hp: GPTTrainHP) -> optax.Schedule:
@@ -93,6 +94,14 @@ def make_train_step(model: Text2SemanticDecoder, hp: GPTTrainHP) -> Callable:
 
     def train_step(state: GPTTrainState, batch, rng):
         def loss_fn(params):
+            if hp.if_dpo:
+                from ..models.gpt.dpo import dpo_forward
+
+                out = dpo_forward(model, params, batch,
+                                  batch["reject_semantic_ids"],
+                                  batch["reject_semantic_ids_len"],
+                                  dropout_rng=rng)
+                return out["loss"], out
             out = model.apply(
                 {"params": params},
                 batch["phoneme_ids"], batch["phoneme_ids_len"],

@@ -153,3 +153,28 @@ def test_sampling_helpers():
     tp = np.asarray(apply_top_p(jnp.array([[10.0, 0.0, 0.0, 0.0]]), 0.9))
     assert np.isfinite(tp[0, 0])
     assert np.isneginf(tp[0, 1:]).all()
+
+
+def test_dpo_path(model_and_vars):
+    import numpy as np
+    from easevoice_trainer_tpu.models.gpt import dpo
+    cfg, model, variables, batch = model_and_vars
+    x, x_lens, y, y_lens, bert = batch
+    rng = np.random.default_rng(0)
+    rej, rej_lens = dpo.make_reject_y(np.asarray(y), np.asarray(y_lens), rng,
+                                      max_len=y.shape[1])
+    assert rej.shape[1] >= y.shape[1]
+    assert (rej_lens >= 1).all()
+    b = {"phoneme_ids": x, "phoneme_ids_len": x_lens,
+         "semantic_ids": y, "semantic_ids_len": y_lens, "bert_feature": bert}
+    out = dpo.dpo_forward(model, variables["params"], b, rej, rej_lens)
+    assert np.isfinite(float(out["loss"]))
+    assert float(out["loss"]) > float(out["ce_loss"]) - 1e-3  # added term >= ~0
+
+
+def test_dpo_loss_prefers_chosen():
+    import jax.numpy as jnp
+    from easevoice_trainer_tpu.models.gpt.dpo import dpo_loss
+    good = dpo_loss(jnp.array([0.0]), jnp.array([-10.0]))
+    bad = dpo_loss(jnp.array([0.0]), jnp.array([10.0]))
+    assert float(good) < float(bad)
