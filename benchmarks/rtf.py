@@ -56,6 +56,11 @@ def main():
             np.array([frames], np.int32),
             jax.numpy.zeros((1, 16), np.int32), np.array([16], np.int32))
         vvars = jax.tree_util.tree_map(np.asarray, vvars)
+    # commit weights to the accelerator — host-committed params would pull
+    # the whole computation back to CPU
+    dev = jax.devices()[0]
+    tvars = jax.device_put(tvars, dev)
+    vvars = jax.device_put(vvars, dev)
 
     params = DecodeParams(top_k=15, max_new_tokens=n_tokens, min_tokens=5,
                           repetition_penalty=1.35, early_stop_num=-1,

@@ -163,8 +163,9 @@ class TTS:
 
     def init_vits_weights(self, path: str) -> None:
         tree, unmatched = ckpt_io.load_sovits_pretrained(path)
-        # shape-check against a template init (cheap tiny init on CPU)
-        self.vits_params = tree
+        # commit to the accelerator once; per-request transfers would
+        # dominate synthesis latency
+        self.vits_params = jax.device_put(tree, jax.devices()[0])
         self.cfg.vits_weights_path = path
         self.cfg.save_configs()
         logger.info("loaded sovits weights %s (%d unmatched)", path,
@@ -172,7 +173,7 @@ class TTS:
 
     def init_t2s_weights(self, path: str) -> None:
         tree, unmatched = ckpt_io.load_gpt_pretrained(path)
-        self.t2s_params = tree
+        self.t2s_params = jax.device_put(tree, jax.devices()[0])
         self.cfg.t2s_weights_path = path
         self.cfg.save_configs()
         logger.info("loaded t2s weights %s (%d unmatched)", path,

@@ -91,6 +91,21 @@ def sample_token(rng: jax.Array, logits: jnp.ndarray, history: jnp.ndarray,
     return jnp.argmax(probs / q, axis=-1).astype(jnp.int32)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _decode_fn(model, params: DecodeParams, b: int, x_len: int,
+               prompt_len: int):
+    """Build + cache one jitted prefill+loop program per shape signature."""
+
+    def fn(variables, rng, x, x_lens, prompts, bert_feature):
+        return _decode_ar_impl(model, variables, rng, x, x_lens, prompts,
+                               bert_feature, params)
+
+    return jax.jit(fn)
+
+
 def decode_ar(
     model,
     variables,
@@ -101,11 +116,17 @@ def decode_ar(
     bert_feature: jnp.ndarray, # (B, Tx, 1024)
     params: DecodeParams = DecodeParams(),
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Generate semantic tokens.
+    """Generate semantic tokens — ONE jitted program (prefill + while_loop).
 
     Returns (tokens (B, max_new_tokens) int32 with EOS-fill after stop,
     lengths (B,) = #tokens generated before EOS).
     """
+    fn = _decode_fn(model, params, x.shape[0], x.shape[1], prompts.shape[1])
+    return fn(variables, rng, x, x_lens, prompts, bert_feature)
+
+
+def _decode_ar_impl(model, variables, rng, x, x_lens, prompts, bert_feature,
+                    params: DecodeParams):
     cfg = model.cfg
     eos = cfg.eos_id
     b, x_len = x.shape

@@ -324,13 +324,39 @@ class Text2SemanticDecoder(nn.Module):
         so far (positional index of this token in the y stream); pos: scalar
         write position in the cache; kv_bias: (B, 1, 1, cache_len).
 
-        Returns (logits (B, V), new k/v caches).
+        k_caches/v_caches are the full stacked (L, B, T, H, dk) buffers; the
+        new token's K/V is written with one tiny dynamic_update_slice per
+        layer so XLA keeps the carry in place inside the decode while_loop
+        (a jnp.stack rebuild here costs a full cache copy per step).
+
+        Returns (logits (B, V), k_caches, v_caches).
         """
+        c = self.cfg
         h = self.embed_audio(token[:, None], offset=step_idx)
-        new_k, new_v = [], []
+        b = token.shape[0]
+        n_heads = c.n_heads
+        dk = c.hidden_dim // n_heads
+        zero = jnp.int32(0)
         for i, layer in enumerate(self.layers):
-            h, kc, vc = layer.step(h, k_caches[i], v_caches[i], pos, kv_bias)
-            new_k.append(kc)
-            new_v.append(vc)
+            q, k, v = jnp.split(layer.qkv(h), 3, axis=-1)
+            shape = (1, b, 1, n_heads, dk)
+            k_caches = jax.lax.dynamic_update_slice(
+                k_caches, k.reshape(shape).astype(k_caches.dtype),
+                (jnp.int32(i), zero, pos, zero, zero))
+            v_caches = jax.lax.dynamic_update_slice(
+                v_caches, v.reshape(shape).astype(v_caches.dtype),
+                (jnp.int32(i), zero, pos, zero, zero))
+            q = q.reshape(b, 1, n_heads, dk)
+            scores = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k_caches[i].astype(q.dtype),
+                preferred_element_type=jnp.float32) / jnp.sqrt(jnp.float32(dk))
+            scores = scores + kv_bias
+            probs = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+            o = jnp.einsum("bhqk,bkhd->bqhd", probs,
+                           v_caches[i].astype(h.dtype),
+                           preferred_element_type=jnp.float32).astype(h.dtype)
+            y = layer.out(o.reshape(b, 1, c.hidden_dim))
+            h = layer.norm1(h + y)
+            h = layer.norm2(h + layer.ffn(h))
         logits = self.ar_predict_layer(h[:, 0])
-        return logits, jnp.stack(new_k), jnp.stack(new_v)
+        return logits, k_caches, v_caches
