@@ -69,15 +69,16 @@ def main():
 
     state, batch, step = build(batch_size, frames)
 
-    # compile + warmup (2 steps)
+    # compile + warmup (2 steps); scalar fetch also warms the readback path
     for i in range(2):
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(metrics)
+    float(metrics["loss/g/total"])
 
     t0 = time.perf_counter()
     for i in range(n_steps):
         state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(metrics)
+    # force completion of the whole chain with a real value fetch
+    float(metrics["loss/g/total"])
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_steps / dt

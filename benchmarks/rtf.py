@@ -73,12 +73,12 @@ def main():
                          jax.random.PRNGKey(seed), x, x_lens, prompts, bert,
                          params)
 
-    # warmup/compile
+    # warmup/compile (+ first-readback channel warmup on tunneled devices)
     tokens, lengths = run_decode(0)
-    jax.block_until_ready(tokens)
+    np.asarray(tokens)
     t0 = time.perf_counter()
     tokens, lengths = run_decode(1)
-    jax.block_until_ready(tokens)
+    np.asarray(tokens)   # force completion with a real value fetch
     t_ar = time.perf_counter() - t0
 
     # ---- vocoder ---------------------------------------------------------------
@@ -92,10 +92,10 @@ def main():
         {"params": p}, c, text, text_lens, refer, refer_lens,
         method=SynthesizerTrn.decode))
     wav = voc(vvars["params"], codes[:1])
-    jax.block_until_ready(wav)
+    np.asarray(wav)
     t0 = time.perf_counter()
     wav = voc(vvars["params"], codes[:1])
-    jax.block_until_ready(wav)
+    np.asarray(wav)      # force completion with a real value fetch
     t_voc = time.perf_counter() - t0
 
     audio_sec = n_tokens / 25.0

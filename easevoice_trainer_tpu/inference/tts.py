@@ -128,6 +128,7 @@ class TTS:
             "prompt_text": None, "phones": None, "bert_features": None,
             "norm_text": None, "aux_ref_audio_paths": [],
         }
+        self._voc_fn = None
         if models is not None:
             self.__dict__.update(models)
             self.preprocessor = TextPreprocessor(
@@ -373,13 +374,28 @@ class TTS:
         for i, s in enumerate(refer_specs):
             refer[i, :s.shape[0]] = s
             refer_lens[i] = s.shape[0]
-        text = np.asarray(phones, np.int32)[None, :]
+        # pad to shape buckets so the jitted decode compiles O(log) variants
+        n_codes = len(codes)
+        pad_codes = _round_up(max(n_codes, 16), 64)
+        codes_p = np.zeros((1, pad_codes), np.int32)
+        codes_p[0, :n_codes] = codes
+        pad_text = _round_up(max(len(phones), 8), 16)
+        text = np.zeros((1, pad_text), np.int32)
+        text[0, :len(phones)] = phones
         text_lens = np.asarray([len(phones)], np.int32)
-        wav = self.vits.apply(
-            {"params": self.vits_params}, codes[None, :], text, text_lens,
-            refer, refer_lens, speed=speed_factor,
-            method=SynthesizerTrn.decode)
-        return np.asarray(wav)[0, :, 0]
+
+        if self._voc_fn is None or self._voc_fn[0] != speed_factor:
+            fn = jax.jit(
+                lambda p, c, cl, t, tl, r, rl: self.vits.apply(
+                    {"params": p}, c, t, tl, r, rl,
+                    speed=speed_factor, codes_lengths=cl,
+                    method=SynthesizerTrn.decode))
+            self._voc_fn = (speed_factor, fn)
+        wav = self._voc_fn[1](self.vits_params, codes_p,
+                              np.asarray([n_codes], np.int32), text,
+                              text_lens, refer, refer_lens)
+        samples = n_codes * 2 * self.cfg.hop_length
+        return np.asarray(wav)[0, :samples, 0]
 
     def _postprocess(self, fragments: List[np.ndarray],
                      fragment_interval: float) -> np.ndarray:

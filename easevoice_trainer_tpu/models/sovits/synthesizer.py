@@ -186,10 +186,11 @@ class SynthesizerTrn(nn.Module):
 
     def decode(self, codes, text, text_lengths, refer_spec, refer_lengths,
                noise_scale: float = 0.5, speed: float = 1.0,
-               rng: Optional[jax.Array] = None):
+               rng: Optional[jax.Array] = None, codes_lengths=None):
         """Synthesis from semantic codes (reference: models.py:975-1013).
 
-        codes: (B, Tc) single-layer semantic tokens; refer_spec: (R, Tr, 1025)
+        codes: (B, Tc) single-layer semantic tokens (may be padded —
+        ``codes_lengths`` masks the padding); refer_spec: (R, Tr, 1025)
         reference spectrogram(s) whose style vectors are averaged.
         """
         dtype = self.dtype or refer_spec.dtype
@@ -201,7 +202,11 @@ class SynthesizerTrn(nn.Module):
         quantized = self.quantizer.decode(codes[None])   # (B, Tc, 768)
         if self.cfg.semantic_frame_rate == "25hz":
             quantized = jnp.repeat(quantized, 2, axis=1)
-        y_lengths = jnp.full((codes.shape[0],), quantized.shape[1], jnp.int32)
+        if codes_lengths is None:
+            y_lengths = jnp.full((codes.shape[0],), quantized.shape[1],
+                                 jnp.int32)
+        else:
+            y_lengths = codes_lengths * 2
 
         x, m_p, logs_p, y_mask = self.enc_p(
             quantized.astype(dtype), y_lengths, text, text_lengths, ge,
