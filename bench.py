@@ -19,6 +19,7 @@ import numpy as np
 
 def build(batch_size: int, frames: int):
     import jax
+    import jax.numpy as jnp
     from easevoice_trainer_tpu.models.sovits import (
         SynthesizerTrn, SovitsConfig, MultiPeriodDiscriminator)
     from easevoice_trainer_tpu.ops.stft import MelConfig, spectrogram
@@ -27,8 +28,10 @@ def build(batch_size: int, frames: int):
     cfg = SovitsConfig()
     mel_cfg = MelConfig()
     hp = sovits_step.S2TrainHP()
-    synth = SynthesizerTrn(cfg)
-    disc = MultiPeriodDiscriminator()
+    # bf16 compute / fp32 params — the production TPU training setting
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else None
+    synth = SynthesizerTrn(cfg, dtype=dtype)
+    disc = MultiPeriodDiscriminator(dtype=dtype)
 
     rng = np.random.default_rng(0)
     samples = frames * mel_cfg.hop_length

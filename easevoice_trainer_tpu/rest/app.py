@@ -383,6 +383,32 @@ def build_app(frontend_dir: str | None = None,
     async def easevoice_stop(request):
         return _stop_subprocess_task(TaskType.ease_voice, request)
 
+    # ---- profiler (SURVEY §5.1: jax.profiler trace endpoints) ---------------------------
+
+    @routes.post(f"{API_PREFIX}/profiler/start")
+    async def profiler_start(request):
+        try:
+            import jax
+
+            trace_dir = os.path.join(
+                __import__("easevoice_trainer_tpu.utils.paths",
+                           fromlist=["tb_log_dir"]).tb_log_dir(), "profile")
+            jax.profiler.start_trace(trace_dir)
+            return _json({"message": "profiler started",
+                          "trace_dir": trace_dir})
+        except Exception as e:
+            return _error(500, str(e))
+
+    @routes.post(f"{API_PREFIX}/profiler/stop")
+    async def profiler_stop(request):
+        try:
+            import jax
+
+            jax.profiler.stop_trace()
+            return _json({"message": "profiler stopped"})
+        except Exception as e:
+            return _error(500, str(e))
+
     # ---- tensorboard proxy ------------------------------------------------------------
 
     @routes.route("*", f"{API_PREFIX}/tensorboard/{{path:.*}}")

@@ -204,6 +204,11 @@ class SessionManager:
 session_manager = SessionManager()
 
 
+def _manager() -> SessionManager:
+    """Resolve the current singleton (robust to SessionManager.reset())."""
+    return SessionManager()
+
+
 def backtask_with_session_guard(uuid: str, task_name: str,
                                 request_params: Any, func: Callable,
                                 **kwargs) -> None:
@@ -212,16 +217,16 @@ def backtask_with_session_guard(uuid: str, task_name: str,
     Raises SessionConflictError (mapped to HTTP 409 by the REST layer) if a
     task is already running.
     """
-    session_manager.start_session(uuid, task_name, request_params)
+    _manager().start_session(uuid, task_name, request_params)
 
     def wrapper():
         try:
             func(**kwargs)
         except Exception as e:
             logger.exception("task %s failed", task_name)
-            session_manager.fail_session(uuid, str(e))
+            _manager().fail_session(uuid, str(e))
         finally:
-            session_manager.remove_session_subprocess(uuid)
+            _manager().remove_session_subprocess(uuid)
 
     threading.Thread(target=wrapper, daemon=True).start()
 
@@ -243,25 +248,25 @@ def start_task_with_subprocess(uid: str, cmd_module: str, request: Any) -> None:
         [sys.executable, "-m", f"easevoice_trainer_tpu.cmd.{cmd_module}",
          "-c", temp_file_path],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-    session_manager.add_session_subprocess(uid, proc.pid)
+    _manager().add_session_subprocess(uid, proc.pid)
     connector = MultiProcessOutputConnector()
     for data in connector.read_data(proc):
         if data.dataType == ConnectorDataType.RESP:
-            session_manager.end_session_with_response(uid, data.response)
+            _manager().end_session_with_response(uid, data.response)
         elif data.dataType == ConnectorDataType.SESSION_DATA:
-            session_manager.update_session_info(uid, data.session_data)
+            _manager().update_session_info(uid, data.session_data)
         elif data.dataType == ConnectorDataType.LOSS:
-            session_manager.update_session_loss(uid, data.loss)
+            _manager().update_session_loss(uid, data.loss)
 
 
 def _check_session(uid: str, task_name: str) -> Optional[EaseVoiceResponse]:
-    info = session_manager.get_session_info()
+    info = _manager().get_session_info()
     current = info.get(uid, {})
     if (current.get("task_name") != task_name
             or current.get("status") != Status.RUNNING):
         response = EaseVoiceResponse(ResponseStatus.FAILED,
                                      "Task name does not match.")
-        session_manager.end_session_with_response(uid, response)
+        _manager().end_session_with_response(uid, response)
         return response
     return None
 
@@ -270,15 +275,15 @@ def stop_task_with_subprocess(uuid: str, task_name: str) -> EaseVoiceResponse:
     check = _check_session(uuid, task_name)
     if check:
         return check
-    pid = session_manager.get_session_subprocess(uuid)
+    pid = _manager().get_session_subprocess(uuid)
     if pid:
         kill_proc_tree(pid)
-        session_manager.remove_session_subprocess(uuid)
+        _manager().remove_session_subprocess(uuid)
         response = EaseVoiceResponse(ResponseStatus.SUCCESS,
                                      "Task stopped by user.")
     else:
         response = EaseVoiceResponse(ResponseStatus.FAILED, "No task to stop.")
-    session_manager.end_session_with_response(uuid, response)
+    _manager().end_session_with_response(uuid, response)
     return response
 
 

@@ -149,7 +149,11 @@ class GPTTrain:
         max_ph = _round_up(
             max(len(p) for (_, p, _) in dataset.items), 16)
 
-        model = Text2SemanticDecoder(self.model_cfg)
+        from ..utils.config import GlobalCFG
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if GlobalCFG().is_half else None
+        model = Text2SemanticDecoder(self.model_cfg, dtype=dtype)
         first = batcher.epoch_batches(0)[0]
         example = data_mod.collate_gpt(
             [dataset.load_item(i) for i in first[1]], max_ph,

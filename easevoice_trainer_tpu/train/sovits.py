@@ -189,8 +189,13 @@ class SovitsTrain:
         text_cap = _round_up(max(len(e.phoneme_ids)
                                  for e in dataset.examples), 16)
 
-        synth = SynthesizerTrn(self.model_cfg)
-        disc = MultiPeriodDiscriminator()
+        # bf16 compute on TPU (is_half), fp32 params; fp32 everywhere on CPU
+        from ..utils.config import GlobalCFG
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if GlobalCFG().is_half else None
+        synth = SynthesizerTrn(self.model_cfg, dtype=dtype)
+        disc = MultiPeriodDiscriminator(dtype=dtype)
 
         bucket_id, idxs = first_epoch_batches[0]
         example = data_mod.collate_s2(
