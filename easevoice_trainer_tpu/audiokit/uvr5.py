@@ -293,7 +293,10 @@ def convert_vr_weights(state: Dict[str, np.ndarray]):
 
 def load_band_params(name: str = "4band_v2.json") -> dict:
     with open(os.path.join(PARAMS_DIR, name), encoding="utf8") as f:
-        return json.load(f)
+        mp = json.load(f)
+    if "bins" not in mp and "n_bins" in mp:   # 4band_v3_sn spelling
+        mp["bins"] = mp["n_bins"]
+    return mp
 
 
 def _stft(wav: np.ndarray, n_fft: int, hop: int) -> np.ndarray:

@@ -139,6 +139,28 @@ def convert_hf_bert(state: dict) -> dict:
     return unflatten_tree(p)
 
 
+def config_from_hf(model_dir: str) -> BertConfig:
+    """Build a BertConfig from an HF config.json when present."""
+    import json
+    import os
+
+    path = os.path.join(model_dir, "config.json") if model_dir else ""
+    if not path or not os.path.exists(path):
+        return BertConfig()
+    with open(path, encoding="utf8") as f:
+        c = json.load(f)
+    return BertConfig(
+        vocab_size=c.get("vocab_size", 21128),
+        hidden_size=c.get("hidden_size", 1024),
+        num_layers=c.get("num_hidden_layers", 24),
+        num_heads=c.get("num_attention_heads", 16),
+        intermediate_size=c.get("intermediate_size", 4096),
+        max_position=c.get("max_position_embeddings", 512),
+        type_vocab_size=c.get("type_vocab_size", 2),
+        layer_norm_eps=c.get("layer_norm_eps", 1e-12),
+    )
+
+
 class BertFeatureExtractor:
     """Tokenizer + model + phone-level feature repeat, host API.
 
@@ -148,7 +170,7 @@ class BertFeatureExtractor:
     """
 
     def __init__(self, model_dir: str, cfg: Optional[BertConfig] = None):
-        self.cfg = cfg or BertConfig()
+        self.cfg = cfg or config_from_hf(model_dir)
         self.model = BertModel(self.cfg)
         self.params = None
         self.tokenizer = None

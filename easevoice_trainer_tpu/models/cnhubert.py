@@ -216,6 +216,30 @@ def convert_hf_hubert(state: dict) -> dict:
     return unflatten_tree(p)
 
 
+def config_from_hf(model_dir: str) -> HubertConfig:
+    """Build a HubertConfig from an HF config.json when present."""
+    import json
+    import os
+
+    path = os.path.join(model_dir, "config.json")
+    if not os.path.exists(path):
+        return HubertConfig()
+    with open(path, encoding="utf8") as f:
+        c = json.load(f)
+    return HubertConfig(
+        conv_dim=tuple(c.get("conv_dim", (512,) * 7)),
+        conv_kernel=tuple(c.get("conv_kernel", (10, 3, 3, 3, 3, 2, 2))),
+        conv_stride=tuple(c.get("conv_stride", (5, 2, 2, 2, 2, 2, 2))),
+        hidden_size=c.get("hidden_size", 768),
+        num_layers=c.get("num_hidden_layers", 12),
+        num_heads=c.get("num_attention_heads", 12),
+        intermediate_size=c.get("intermediate_size", 3072),
+        pos_conv_kernel=c.get("num_conv_pos_embeddings", 128),
+        pos_conv_groups=c.get("num_conv_pos_embedding_groups", 16),
+        layer_norm_eps=c.get("layer_norm_eps", 1e-5),
+    )
+
+
 def load_cnhubert(model_dir: str):
     """Load chinese-hubert-base weights from an HF checkpoint directory.
 
@@ -223,7 +247,7 @@ def load_cnhubert(model_dir: str):
     """
     import os
 
-    model = CNHubert()
+    model = CNHubert(config_from_hf(model_dir))
     for fname in ("pytorch_model.bin", "model.safetensors"):
         path = os.path.join(model_dir, fname)
         if not os.path.exists(path):
