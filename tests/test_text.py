@@ -150,3 +150,25 @@ def test_japanese_kana_fallback():
     assert word2ph is None
     assert phones  # kana romaji path works without pyopenjtalk
     assert all(p in SYMBOLS for p in phones)
+
+
+def test_polyphonic_corrections(tmp_path, monkeypatch):
+    """Vendored g2pw word dict overrides per-char readings (e.g. 音乐 yue4)."""
+    import json
+    from easevoice_trainer_tpu.text import chinese
+    poly = chinese.polyphonic_words()
+    if not poly:
+        import pytest
+        pytest.skip("polyphonic data not present")
+    # 快乐: 乐 = le4 ; backend table says yue4 by default -> corrected
+    table = {"快": ["kuai4"], "乐": ["yue4"]}
+    p = tmp_path / "t.json"
+    p.write_text(json.dumps(table, ensure_ascii=False), encoding="utf8")
+    monkeypatch.setenv("EASEVOICE_PINYIN_TABLE", str(p))
+    chinese._backend.cache_clear()
+    try:
+        pairs = chinese.correct_pronunciation("快乐", chinese._backend()("快乐"))
+        finals = [v for _, v in pairs]
+        assert finals[-1].startswith("e4") or finals[-1] == "e4", finals
+    finally:
+        chinese._backend.cache_clear()
