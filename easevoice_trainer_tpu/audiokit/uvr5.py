@@ -456,6 +456,29 @@ class VRSeparator:
 # ---------------------------------------------------------------------------
 
 
+class DeEchoSeparator(VRSeparator):
+    """DeEcho/DeReverb: nets_new CascadedNet over 4band_v3
+    (reference: separate.py:276-299)."""
+
+    def __init__(self, model_path: str, is_half: bool = False):
+        import torch
+
+        from .uvr5_deecho import CascadedNet, convert_deecho_weights
+
+        raw = torch.load(model_path, map_location="cpu", weights_only=False)
+        state = {k: v.detach().to(torch.float32).numpy()
+                 for k, v in raw.items() if hasattr(v, "detach")}
+        params, batch_stats = convert_deecho_weights(state)
+        self.mp = load_band_params("4band_v3.json")
+        nout = 64 if "DeReverb" in model_path else 48
+        self.model = CascadedNet(n_fft=self.mp["bins"] * 2, nout=nout)
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        mask_apply = jax.jit(self.model.apply)
+        # CascadedNet emits the MASK; masked magnitude = mask * input
+        self._apply = lambda v, x: mask_apply(v, x) * x
+        self.OFFSET = 64   # reference CascadedNet offset (nets_new.py:52)
+
+
 def get_separator(model_name: str):
     """Pick a separation engine by model name (service/audio.py:98-106)."""
     lowered = model_name.lower()
@@ -468,4 +491,6 @@ def get_separator(model_name: str):
     path = os.path.join(weights_root, model_name + ".pth")
     if not os.path.exists(path):
         raise FileNotFoundError(f"UVR5 weights not found: {path}")
+    if "DeEcho" in model_name:
+        return DeEchoSeparator(path)
     return VRSeparator(path)

@@ -47,3 +47,46 @@ def test_bilinear_align_corners_matches_torch(rng):
             torch.from_numpy(x.transpose(0, 3, 1, 2)), scale_factor=2,
             mode="bilinear", align_corners=True).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_deecho_net_shapes(rng):
+    from easevoice_trainer_tpu.audiokit.uvr5_deecho import CascadedNet
+    net = CascadedNet(n_fft=128, nout=8, nout_lstm=16)
+    x = rng.normal(size=(1, 65, 64, 2)).astype(np.float32) ** 2
+    variables = net.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    mask = net.apply(variables, jnp.asarray(x))
+    out = np.asarray(mask)
+    assert out.shape == x.shape
+    assert np.isfinite(out).all()
+    assert (out >= 0).all() and (out <= 1).all()   # sigmoid mask
+
+
+def test_deecho_lstm_matches_torch(rng):
+    """flax bi-LSTM wiring vs torch nn.LSTM on the same weights."""
+    import torch
+    from easevoice_trainer_tpu.audiokit.uvr5_deecho import _lstm_cell
+    from easevoice_trainer_tpu.train.ckpt import unflatten_tree
+    from flax import linen as nn_
+    nin, H, T = 6, 4, 5
+    tl = torch.nn.LSTM(input_size=nin, hidden_size=H, bidirectional=True)
+    state = {f"l.{k}": v.detach().numpy() for k, v in
+             tl.state_dict().items()}
+    state = {k.replace("l.", "l."): v for k, v in state.items()}
+    flat = {}
+    _lstm_cell({f"l.{k}".replace("l.l.", "l."): v for k, v in state.items()},
+               "l", flat, "fwd/cell", reverse=False)
+    _lstm_cell({f"l.{k}".replace("l.l.", "l."): v for k, v in state.items()},
+               "l", flat, "bwd/cell", reverse=True)
+    params = unflatten_tree(flat)
+
+    x = rng.normal(size=(1, T, nin)).astype(np.float32)
+    with torch.no_grad():
+        ref, _ = tl(torch.from_numpy(x).permute(1, 0, 2))
+    ref = ref.permute(1, 0, 2).numpy()  # (1, T, 2H)
+
+    fwd = nn_.RNN(nn_.LSTMCell(H))
+    bwd = nn_.RNN(nn_.LSTMCell(H), reverse=True, keep_order=True)
+    of = fwd.apply({"params": params["fwd"]["cell"] and {"cell": params["fwd"]["cell"]}}, jnp.asarray(x))
+    ob = bwd.apply({"params": {"cell": params["bwd"]["cell"]}}, jnp.asarray(x))
+    ours = np.concatenate([np.asarray(of), np.asarray(ob)], axis=-1)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
