@@ -333,13 +333,18 @@ def _istft(spec: np.ndarray, hop: int) -> np.ndarray:
 
 
 class VRSeparator:
-    """Windowed inference over the combined multiband spectrogram."""
+    """Windowed inference over the combined multiband spectrogram.
+
+    ``agg`` (aggressiveness, reference default 10) raises the vocal mask to
+    a power >1 below/above a split bin (separate.py aggressiveness dict);
+    ``tta`` runs a second, half-window-shifted pass and averages.
+    """
 
     WINDOW = 512
     OFFSET = 128
 
     def __init__(self, model_path: str, band_config: str = "4band_v2.json",
-                 is_half: bool = False):
+                 is_half: bool = False, agg: int = 10, tta: bool = False):
         import torch
 
         raw = torch.load(model_path, map_location="cpu", weights_only=False)
@@ -352,6 +357,8 @@ class VRSeparator:
             ch3=layout["ch3"], enlarge=layout["enlarge"])
         self.variables = {"params": params, "batch_stats": batch_stats}
         self._apply = jax.jit(self.model.apply)
+        self.agg = agg
+        self.tta = tta
 
     # ---- multiband analysis ------------------------------------------------
 
@@ -416,6 +423,22 @@ class VRSeparator:
         out = np.concatenate(list(masked), axis=1)[:, :n_frames]   # (bins,T,2)
         return out.transpose(2, 0, 1)
 
+    def _apply_aggressiveness(self, masked: np.ndarray,
+                              mag: np.ndarray) -> np.ndarray:
+        """mask^(1+agg-dependent power), split at 2/3 of the reduction bins
+        (reference: separate.py aggressiveness + nets.py:111-121)."""
+        if not self.agg:
+            return masked
+        value = self.agg / 100.0
+        split = int(self.mp.get("reduction_bins", 0) * 2 / 3)
+        if split <= 0:
+            return masked
+        mask = masked / np.maximum(mag, 1e-10)
+        mask[:, :split] = np.power(np.clip(mask[:, :split], 0, 1),
+                                   1 + value / 3)
+        mask[:, split:] = np.power(np.clip(mask[:, split:], 0, 1), 1 + value)
+        return mask * mag
+
     def separate(self, wav: np.ndarray, sr: int
                  ) -> Tuple[np.ndarray, np.ndarray]:
         """mono/stereo float wav -> (vocals, accompaniment) mono float."""
@@ -425,7 +448,17 @@ class VRSeparator:
         comb = self._combine(specs)
         mag = np.abs(comb).astype(np.float32)
         coef = max(mag.max(), 1e-6)
-        masked_mag = self._predict_mag(mag / coef) * coef
+        masked_mag = self._predict_mag(mag / coef)
+        if self.tta:
+            # second pass shifted by half a step, averaged (reference TTA)
+            shift = (self.WINDOW - 2 * self.OFFSET) // 2
+            shifted = np.pad(mag, ((0, 0), (0, 0), (shift, 0)))[:, :, :mag.shape[2]]
+            masked2 = self._predict_mag(shifted / coef)
+            masked2 = np.concatenate(
+                [masked2[:, :, shift:],
+                 masked_mag[:, :, masked_mag.shape[2] - shift:]], axis=2)
+            masked_mag = 0.5 * (masked_mag + masked2)
+        masked_mag = self._apply_aggressiveness(masked_mag * coef, mag)
         phase = np.exp(1.0j * np.angle(comb))
         vocal_spec = masked_mag * phase
 
@@ -477,6 +510,8 @@ class DeEchoSeparator(VRSeparator):
         # CascadedNet emits the MASK; masked magnitude = mask * input
         self._apply = lambda v, x: mask_apply(v, x) * x
         self.OFFSET = 64   # reference CascadedNet offset (nets_new.py:52)
+        self.agg = 0       # reference applies no mask power for DeEcho
+        self.tta = False
 
 
 def get_separator(model_name: str):
