@@ -13,8 +13,10 @@ from aiohttp import web
 from .rest.app import build_app
 from .utils.logger import logger
 
+import os
+
 HOST = "0.0.0.0"
-PORT = 8000
+PORT = int(os.environ.get("EASEVOICE_PORT", "8000"))
 
 
 async def _serve(dry_run: bool) -> None:

@@ -7,8 +7,15 @@ import pytest
 
 
 def test_main_dry_run(tmp_path):
+    import socket
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    free_port = sock.getsockname()[1]
+    sock.close()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["EASEVOICE_PORT"] = str(free_port)
     env["EASEVOICE_TRAINER_NAMESPACES_ROOT"] = str(tmp_path / "ns")
     proc = subprocess.run(
         [sys.executable, "-m", "easevoice_trainer_tpu.main", "--dry-run"],
