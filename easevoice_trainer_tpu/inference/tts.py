@@ -316,12 +316,18 @@ class TTS:
             t_ar += time.time() - ta
 
             tv = time.time()
-            for j, seg in enumerate(batch):
-                n = int(lengths[j])
-                codes = np.asarray(tokens[j][:max(n, 1)])
-                wav = self._vocode(codes, seg["phones"], task.speed_factor,
-                                   rng)
-                audio_fragments[idxs[j]] = wav
+            if task.parallel_infer and len(batch) > 1:
+                wavs = self._vocode_batch(tokens, lengths, batch,
+                                          task.speed_factor)
+                for j, wav in enumerate(wavs):
+                    audio_fragments[idxs[j]] = wav
+            else:
+                for j, seg in enumerate(batch):
+                    n = int(lengths[j])
+                    codes = np.asarray(tokens[j][:max(n, 1)])
+                    wav = self._vocode(codes, seg["phones"],
+                                       task.speed_factor, rng)
+                    audio_fragments[idxs[j]] = wav
             t_voc += time.time() - tv
 
         sr = self.cfg.sampling_rate
@@ -396,6 +402,46 @@ class TTS:
                               text_lens, refer, refer_lens)
         samples = n_codes * 2 * self.cfg.hop_length
         return np.asarray(wav)[0, :samples, 0]
+
+    def _vocode_batch(self, tokens: np.ndarray, lengths: np.ndarray,
+                      batch: List[Dict], speed_factor: float
+                      ) -> List[np.ndarray]:
+        """One padded VITS decode for the whole segment batch
+        (reference parallel_infer: tts.py:796-807)."""
+        B = len(batch)
+        n_codes = [max(int(lengths[j]), 1) for j in range(B)]
+        pad_codes = _round_up(max(max(n_codes), 16), 64)
+        codes = np.zeros((B, pad_codes), np.int32)
+        for j in range(B):
+            codes[j, :n_codes[j]] = np.asarray(tokens[j][:n_codes[j]])
+        pad_text = _round_up(max(len(s["phones"]) for s in batch), 16)
+        text = np.zeros((B, pad_text), np.int32)
+        text_lens = np.zeros((B,), np.int32)
+        for j, seg in enumerate(batch):
+            text[j, :len(seg["phones"])] = seg["phones"]
+            text_lens[j] = len(seg["phones"])
+
+        refer_specs = self.prompt_cache["refer_spec"]
+        max_t = max(s.shape[0] for s in refer_specs)
+        refer = np.zeros((len(refer_specs), max_t, refer_specs[0].shape[1]),
+                         np.float32)
+        refer_lens = np.zeros((len(refer_specs),), np.int32)
+        for i, s in enumerate(refer_specs):
+            refer[i, :s.shape[0]] = s
+            refer_lens[i] = s.shape[0]
+
+        if self._voc_fn is None or self._voc_fn[0] != speed_factor:
+            fn = jax.jit(
+                lambda p, c, cl, t, tl, r, rl: self.vits.apply(
+                    {"params": p}, c, t, tl, r, rl,
+                    speed=speed_factor, codes_lengths=cl,
+                    method=SynthesizerTrn.decode))
+            self._voc_fn = (speed_factor, fn)
+        wav = np.asarray(self._voc_fn[1](
+            self.vits_params, codes, np.asarray(n_codes, np.int32), text,
+            text_lens, refer, refer_lens))
+        return [wav[j, :n_codes[j] * 2 * self.cfg.hop_length, 0]
+                for j in range(B)]
 
     def _postprocess(self, fragments: List[np.ndarray],
                      fragment_interval: float) -> np.ndarray:
