@@ -517,12 +517,21 @@ class DeEchoSeparator(VRSeparator):
 def get_separator(model_name: str):
     """Pick a separation engine by model name (service/audio.py:98-106)."""
     lowered = model_name.lower()
-    if "mdx" in lowered or "roformer" in lowered:
-        raise NotImplementedError(
-            f"separator '{model_name}' needs the MDX/roformer engine "
-            "(not yet ported)")
     weights_root = os.path.join(paths.get_base_path(), "models",
                                 "uvr5_weights")
+    if "roformer" in lowered:
+        from .bs_roformer import BSRoformerSeparator
+
+        for cand in (model_name + ".ckpt", model_name + ".pth", model_name):
+            path = os.path.join(weights_root, cand)
+            if os.path.exists(path):
+                return BSRoformerSeparator(path)
+        raise FileNotFoundError(
+            f"BS-Roformer weights not found under {weights_root}")
+    if "mdx" in lowered or "onnx" in lowered:
+        raise NotImplementedError(
+            f"separator '{model_name}' needs the onnx MDX engine "
+            "(onnxruntime unavailable)")
     path = os.path.join(weights_root, model_name + ".pth")
     if not os.path.exists(path):
         raise FileNotFoundError(f"UVR5 weights not found: {path}")

@@ -90,3 +90,41 @@ def test_deecho_lstm_matches_torch(rng):
     ob = bwd.apply({"params": {"cell": params["bwd"]["cell"]}}, jnp.asarray(x))
     ours = np.concatenate([np.asarray(of), np.asarray(ob)], axis=-1)
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_bs_roformer_tiny(rng):
+    from easevoice_trainer_tpu.audiokit.bs_roformer import (
+        BSRoformer, BSRoformerConfig, apply_rotary, rotary_freqs)
+    cfg = BSRoformerConfig(
+        dim=16, depth=1, stereo=False, freqs_per_bands=(2, 3, 4),
+        dim_head=8, heads=2, stft_n_fft=16, stft_hop_length=8,
+        mask_estimator_depth=2)
+    # freqs 2+3+4=9 = 16//2+1 bins
+    model = BSRoformer(cfg)
+    B, T = 1, 6
+    spec = rng.normal(size=(B, 9, T, 2)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(spec))
+    mask = model.apply(variables, jnp.asarray(spec))
+    assert mask.shape == spec.shape
+    assert np.isfinite(np.asarray(mask)).all()
+
+    # rotary is norm-preserving and position-dependent
+    x = rng.normal(size=(1, 2, 5, 8)).astype(np.float32)
+    freqs = rotary_freqs(8, 5)
+    r = np.asarray(apply_rotary(jnp.asarray(x), freqs))
+    np.testing.assert_allclose(np.linalg.norm(r, axis=-1),
+                               np.linalg.norm(x, axis=-1), rtol=1e-5)
+    assert not np.allclose(r[0, 0, 1], x[0, 0, 1])
+    np.testing.assert_allclose(r[0, 0, 0], x[0, 0, 0], atol=1e-6)  # pos 0
+
+
+def test_bs_roformer_stft_roundtrip(rng):
+    from easevoice_trainer_tpu.audiokit.bs_roformer import BSRoformerSeparator
+    sep = BSRoformerSeparator.__new__(BSRoformerSeparator)
+    from easevoice_trainer_tpu.audiokit.bs_roformer import BSRoformerConfig
+    sep.cfg = BSRoformerConfig()
+    wav = rng.uniform(-0.5, 0.5, (2, 44100)).astype(np.float32)
+    spec = sep._stft(wav)
+    back = sep._istft(spec, wav.shape[-1])
+    np.testing.assert_allclose(back[:, 2048:-2048], wav[:, 2048:-2048],
+                               atol=2e-3)
