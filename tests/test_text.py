@@ -138,6 +138,47 @@ def test_chinese_g2p_with_table(tmp_path, monkeypatch):
     assert all(p in SYMBOLS for p in phones)
 
 
+def test_chinese_golden_out_of_box(monkeypatch):
+    """The reference's golden zh sentence, exact phones/word2ph/ids, running
+    purely on the SHIPPED data files (vendored pinyin_table.json; no
+    pypinyin, no EASEVOICE_PINYIN_TABLE override).
+
+    Reference: tests/easevoice/text_test.py:69-104 — expected values are
+    byte-identical to the reference's assertions.
+    """
+    monkeypatch.delenv("EASEVOICE_PINYIN_TABLE", raising=False)
+    from easevoice_trainer_tpu.text import chinese
+    chinese._backend.cache_clear()
+    try:
+        text = "成熟是一种明亮而不刺眼的光辉，一种不再需要对别人察言观色的从容。"
+        norm = chinese.text_normalize(text)
+        assert norm == "成熟是一种明亮而不刺眼的光辉,一种不再需要对别人察言观色的从容."
+        phones, word2ph = chinese.g2p(norm)
+        assert phones == [
+            "ch", "eng2", "sh", "ou2", "sh", "ir4", "y", "i4", "zh", "ong3",
+            "m", "ing2", "l", "iang4", "EE", "er2", "b", "u2", "c", "i04",
+            "y", "En3", "d", "e5", "g", "uang1", "h", "ui1", ",",
+            "y", "i4", "zh", "ong3", "b", "u2", "z", "ai4", "x", "v1",
+            "y", "ao4", "d", "ui4", "b", "ie2", "r", "en2", "ch", "a2",
+            "y", "En2", "g", "uan1", "s", "e4", "d", "e5", "c", "ong2",
+            "r", "ong2", ".",
+        ]
+        assert word2ph == [2] * 14 + [1] + [2] * 16 + [1]
+        assert list(cleaned_text_to_sequence(phones)) == [
+            125, 146, 251, 241, 251, 214, 318, 169, 320, 237, 225, 202, 224,
+            184, 33, 151, 122, 256, 124, 164, 318, 46, 127, 134, 156, 275,
+            158, 280, 1, 318, 169, 320, 237, 122, 256, 319, 105, 317, 296,
+            318, 120, 127, 283, 122, 192, 248, 141, 125, 98, 318, 45, 156,
+            270, 250, 133, 127, 134, 124, 236, 248, 236, 3,
+        ]
+        # common particles read correctly straight from the vendored table
+        phones2, _, norm2 = clean_text("我们都去了北京。", "zh")
+        assert phones2 == ["w", "o3", "m", "en5", "d", "ou1", "q", "v4",
+                           "l", "e5", "b", "ei3", "j", "ing1", "."]
+    finally:
+        chinese._backend.cache_clear()
+
+
 def test_korean_decompose():
     from easevoice_trainer_tpu.text.korean import decompose, g2p
     assert decompose("한") == ["ㅎ", "ㅏ", "ㄴ"]
