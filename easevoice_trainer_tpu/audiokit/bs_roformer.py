@@ -298,10 +298,23 @@ class BSRoformerSeparator:
             raw = raw["state_dict"]
         state = {k: v.detach().to(torch.float32).numpy()
                  for k, v in raw.items() if hasattr(v, "detach")}
-        self.cfg = BSRoformerConfig()
-        self.model = BSRoformer(self.cfg)
-        self.params = {"params": convert_bs_roformer(state, self.cfg)}
+        cfg = BSRoformerConfig()
+        self._init_from_params(convert_bs_roformer(state, cfg), cfg)
+
+    def _init_from_params(self, params: dict, cfg: BSRoformerConfig) -> None:
+        self.cfg = cfg
+        self.model = BSRoformer(cfg)
+        self.params = {"params": params}
         self._apply = jax.jit(self.model.apply)
+
+    @classmethod
+    def from_params(cls, params: dict,
+                    cfg: BSRoformerConfig) -> "BSRoformerSeparator":
+        """Build a separator from already-converted params (tests, custom
+        configs)."""
+        self = cls.__new__(cls)
+        self._init_from_params(params, cfg)
+        return self
 
     # centered stft/istft (torch.stft default center=True)
     def _stft(self, wav: np.ndarray) -> np.ndarray:

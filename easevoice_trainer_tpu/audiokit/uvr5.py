@@ -37,18 +37,6 @@ from ..utils.logger import logger
 
 PARAMS_DIR = os.path.join(os.path.dirname(__file__), "uvr5_params")
 
-# layout table keyed by torch parameter count (nets.py:130-206)
-_LAYOUTS = {
-    16983: dict(ch1=16, ch2=8, ch3=16, enlarge=False),
-    33966: dict(ch1=16, ch2=8, ch3=16, enlarge=True),
-    61968: dict(ch1=32, ch2=16, ch3=32, enlarge=False),
-    123812: dict(ch1=32, ch2=16, ch3=32, enlarge=False),
-    123821: dict(ch1=32, ch2=16, ch3=32, enlarge=False),
-    537227: dict(ch1=64, ch2=32, ch3=64, enlarge=True),
-    537238: dict(ch1=64, ch2=32, ch3=64, enlarge=True),
-}
-
-
 def _bilinear_x2_align_corners(x: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, C) -> (B, 2H, 2W, C), torch align_corners=True semantics."""
     b, h, w, c = x.shape
@@ -248,15 +236,25 @@ def _convert_asppnet(state, tprefix, out, fprefix, enlarge):
                         f"{fprefix}/{dec}/conv")
 
 
+def infer_vr_layout(state: Dict[str, np.ndarray]) -> dict:
+    """Derive the CascadedASPPNet layout from state-dict shapes.
+
+    Robust for any released checkpoint (the reference keys its layout table
+    by model-file size in KB, nets.py:125-206; shapes are unambiguous):
+    ch1/ch2/ch3 are the stage output widths, ``enlarge`` is flagged by the
+    presence of the 4th/5th ASPP branch.
+    """
+    return dict(
+        ch1=int(state["stg1_low_band_net.enc1.conv1.conv.0.weight"].shape[0]),
+        ch2=int(state["stg2_bridge.conv.0.weight"].shape[0]),
+        ch3=int(state["stg3_bridge.conv.0.weight"].shape[0]),
+        enlarge="stg1_low_band_net.aspp.conv6.conv.0.weight" in state,
+    )
+
+
 def convert_vr_weights(state: Dict[str, np.ndarray]):
     """torch CascadedASPPNet state -> (params, batch_stats, layout)."""
-    n_params = int(sum(v.size for v in state.values()))
-    layout = _LAYOUTS.get(n_params)
-    if layout is None:
-        # nearest known layout by parameter count
-        key = min(_LAYOUTS, key=lambda k: abs(k - n_params))
-        logger.warning("unknown VR layout size %d; using %d", n_params, key)
-        layout = _LAYOUTS[key]
+    layout = infer_vr_layout(state)
     flat: Dict[str, np.ndarray] = {}
     _convert_asppnet(state, "stg1_low_band_net", flat, "stg1_low",
                      layout["enlarge"])
@@ -529,9 +527,16 @@ def get_separator(model_name: str):
         raise FileNotFoundError(
             f"BS-Roformer weights not found under {weights_root}")
     if "mdx" in lowered or "onnx" in lowered:
-        raise NotImplementedError(
-            f"separator '{model_name}' needs the onnx MDX engine "
-            "(onnxruntime unavailable)")
+        from .mdxnet import MDXSeparator
+
+        for cand in (model_name + ".onnx", model_name + ".pth", model_name,
+                     "vocals.onnx"):
+            path = os.path.join(weights_root, "onnx_dereverb_By_FoxJoy"
+                                if "reverb" in lowered else "", cand)
+            if os.path.exists(path):
+                return MDXSeparator(path)
+        raise FileNotFoundError(
+            f"MDX-Net weights not found under {weights_root}")
     path = os.path.join(weights_root, model_name + ".pth")
     if not os.path.exists(path):
         raise FileNotFoundError(f"UVR5 weights not found: {path}")

@@ -100,9 +100,9 @@ class BiLSTMModule(nn.Module):
         h = ConvBN2(1, 1, 1, (0, 0), name="conv")(x)[..., 0]  # (B,bins,frames)
         seq = h.transpose(0, 2, 1)                            # (B, frames, bins)
         half = self.nout_lstm // 2
-        fwd = nn.RNN(nn.LSTMCell(half), name="lstm_fwd")(seq)
-        bwd = nn.RNN(nn.LSTMCell(half), reverse=True,
-                     keep_order=True, name="lstm_bwd")(seq)
+        fwd = nn.RNN(nn.LSTMCell(half, name="cell_fwd"))(seq)
+        bwd = nn.RNN(nn.LSTMCell(half, name="cell_bwd"), reverse=True,
+                     keep_order=True)(seq)
         hcat = jnp.concatenate([fwd, bwd], axis=-1)           # (B,frames,nout)
         d = nn.Dense(self.nin_lstm, name="dense")(hcat)
         d = nn.BatchNorm(use_running_average=True, name="dense_bn")(d)
@@ -190,15 +190,14 @@ def _lstm_cell(state, t, out, f, reverse: bool):
     w_hh = state[f"{t}.weight_hh_l0{sfx}"]       # (4H, H)
     b = state[f"{t}.bias_ih_l0{sfx}"] + state[f"{t}.bias_hh_l0{sfx}"]
     H = w_hh.shape[1]
-    # torch gate order i,f,g,o ; flax LSTMCell has separate i*/h* dense per gate
+    # torch gate order i,f,g,o; flax LSTMCell has per-gate dense pairs where
+    # the input-side kernels (i*) carry no bias — fold both torch biases
+    # into the hidden-side (h*) bias.
     names = {"i": 0, "f": 1, "g": 2, "o": 3}
     for gate, idx in names.items():
-        wi = w_ih[idx * H:(idx + 1) * H].T       # (nin, H)
-        wh = w_hh[idx * H:(idx + 1) * H].T       # (H, H)
-        bg = b[idx * H:(idx + 1) * H]
-        out[f"{f}/i{gate}/kernel"] = wi
-        out[f"{f}/h{gate}/kernel"] = wh
-        out[f"{f}/h{gate}/bias"] = bg
+        out[f"{f}/i{gate}/kernel"] = w_ih[idx * H:(idx + 1) * H].T
+        out[f"{f}/h{gate}/kernel"] = w_hh[idx * H:(idx + 1) * H].T
+        out[f"{f}/h{gate}/bias"] = b[idx * H:(idx + 1) * H]
 
 
 def _basenet(state, t, out, f):
@@ -214,9 +213,9 @@ def _basenet(state, t, out, f):
         _cbn(state, f"{t}.{dec}.conv1", out, f"{f}/{dec}/conv1")
     _cbn(state, f"{t}.lstm_dec2.conv", out, f"{f}/lstm_dec2/conv")
     _lstm_cell(state, f"{t}.lstm_dec2.lstm", out,
-               f"{f}/lstm_dec2/lstm_fwd/cell", reverse=False)
+               f"{f}/lstm_dec2/cell_fwd", reverse=False)
     _lstm_cell(state, f"{t}.lstm_dec2.lstm", out,
-               f"{f}/lstm_dec2/lstm_bwd/cell", reverse=True)
+               f"{f}/lstm_dec2/cell_bwd", reverse=True)
     out[f"{f}/lstm_dec2/dense/kernel"] = \
         state[f"{t}.lstm_dec2.dense.0.weight"].T
     out[f"{f}/lstm_dec2/dense/bias"] = state[f"{t}.lstm_dec2.dense.0.bias"]
