@@ -26,3 +26,42 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+def install_pypinyin_stub():
+    """Complete pypinyin stand-in backed by the repo's vendored table, so
+    reference modules (tone_sandhi, chinese_norm constants) import for the
+    differential tests.  Idempotent; safe across test-order permutations."""
+    import sys
+    import types
+
+    from easevoice_trainer_tpu.text.chinese import _backend
+
+    backend = _backend()
+    pp = sys.modules.get("pypinyin")
+    if pp is None:
+        pp = types.ModuleType("pypinyin")
+        sys.modules["pypinyin"] = pp
+    if not hasattr(pp, "Style"):
+        class Style:
+            FINALS_TONE3 = "finals_tone3"
+            INITIALS = "initials"
+            TONE3 = "tone3"
+
+        def lazy_pinyin(word, style=None, neutral_tone_with_five=False,
+                        **kw):
+            pairs = backend(word)
+            if style == Style.INITIALS:
+                return [c for c, _ in pairs]
+            return [v if c == v else c + v for c, v in pairs] \
+                if style == Style.TONE3 else [v for _, v in pairs]
+
+        pp.Style = Style
+        pp.lazy_pinyin = lazy_pinyin
+        pp.pinyin = lambda *a, **k: []
+    if "pypinyin.compat" not in sys.modules:
+        compat = types.ModuleType("pypinyin.compat")
+        compat.SUPPORT_UCS4 = True
+        pp.compat = compat
+        sys.modules["pypinyin.compat"] = compat
+    return pp
