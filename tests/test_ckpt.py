@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the default fast run
 import torch
 
 from easevoice_trainer_tpu.models.sovits import SynthesizerTrn, SovitsConfig, MultiPeriodDiscriminator

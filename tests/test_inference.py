@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the default fast run
+
 from easevoice_trainer_tpu.inference.segmentation import (
     SplitMethods, get_split_method, get_split_names)
 from easevoice_trainer_tpu.inference.preprocessor import (

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the default fast run
+
 from easevoice_trainer_tpu.models.sovits import (
     SynthesizerTrn, SovitsConfig, MultiPeriodDiscriminator, losses,
 )

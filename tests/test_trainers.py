@@ -5,6 +5,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the default fast run
 import torch
 
 from easevoice_trainer_tpu.utils import audio_io

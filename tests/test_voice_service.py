@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: excluded from the default fast run
+
 from easevoice_trainer_tpu.models.sovits import SynthesizerTrn, SovitsConfig
 from easevoice_trainer_tpu.models.gpt import Text2SemanticDecoder, T2SConfig
 from easevoice_trainer_tpu.models.cnhubert import CNHubert, HubertConfig
