@@ -63,6 +63,16 @@ def build(batch_size: int, frames: int):
     return state, batch, step
 
 
+# peak spec sheets per chip (bf16 matmul TFLOP/s, HBM GB/s)
+_PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),       # v5e
+    "TPU v4": (275e12, 1228e9),
+    "TPU v5": (459e12, 2765e9),           # v5p
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v6 lite": (918e12, 1640e9),      # v6e/trillium
+}
+
+
 def main():
     import jax
 
@@ -83,13 +93,44 @@ def main():
     # force completion of the whole chain with a real value fetch
     float(metrics["loss/g/total"])
     dt = time.perf_counter() - t0
-
     steps_per_sec = n_steps / dt
+
+    # MFU + HBM roofline from XLA's own cost model of the compiled step
+    extra = {"device": jax.devices()[0].device_kind}
+    try:
+        ca = step.lower(state, batch,
+                        jax.random.PRNGKey(0)).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        flops = float(ca.get("flops", 0.0))
+        hbm_bytes = float(ca.get("bytes accessed", 0.0))
+        extra["tflops_per_step"] = round(flops / 1e12, 3)
+        extra["gbytes_per_step"] = round(hbm_bytes / 1e9, 2)
+        peaks = _PEAKS.get(extra["device"])
+        if peaks and flops:
+            extra["mfu_pct"] = round(100 * flops * steps_per_sec / peaks[0], 2)
+            extra["hbm_roofline_pct"] = round(
+                100 * hbm_bytes * steps_per_sec / peaks[1], 2)
+    except Exception as exc:                    # pragma: no cover
+        extra["cost_analysis_error"] = str(exc)[:120]
+
+    # second north star: synthesis real-time factor (target <= 0.1)
+    if "--no-rtf" not in sys.argv:
+        try:
+            sys.path.insert(0, "benchmarks")
+            from rtf import measure as measure_rtf
+
+            r = measure_rtf(250, 1)
+            extra["rtf"] = r["value"]
+            extra["rtf_detail"] = r["detail"]
+        except Exception as exc:                # pragma: no cover
+            extra["rtf_error"] = str(exc)[:120]
+
     print(json.dumps({
         "metric": "s2_train_steps_per_sec",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": None,
+        "extra": extra,
     }))
 
 

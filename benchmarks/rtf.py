@@ -18,11 +18,9 @@ import time
 import numpy as np
 
 
-def main():
+def measure(n_tokens: int = 250, batch: int = 1) -> dict:
+    """Measure synthesis RTF; returns the metric dict (importable by bench.py)."""
     import jax
-
-    n_tokens = int(sys.argv[1]) if len(sys.argv) > 1 else 250   # ~10 s
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 
     from easevoice_trainer_tpu.models.gpt import (
         Text2SemanticDecoder, T2SConfig, decode_ar, DecodeParams)
@@ -100,14 +98,20 @@ def main():
 
     audio_sec = n_tokens / 25.0
     rtf = (t_ar / batch + t_voc) / audio_sec
-    print(json.dumps({
+    return {
         "metric": "synthesis_rtf",
         "value": round(rtf, 4),
         "unit": "wall_sec/audio_sec",
         "vs_baseline": round(0.1 / rtf, 3),   # >1 beats the 0.1 target
         "detail": {"ar_sec": round(t_ar, 3), "vocoder_sec": round(t_voc, 3),
                    "audio_sec": audio_sec, "batch": batch},
-    }))
+    }
+
+
+def main():
+    n_tokens = int(sys.argv[1]) if len(sys.argv) > 1 else 250   # ~10 s
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    print(json.dumps(measure(n_tokens, batch)))
 
 
 if __name__ == "__main__":
