@@ -21,7 +21,16 @@ from .segmentation import SPLITS, get_split_method
 
 
 def detect_language_runs(text: str) -> List[Tuple[str, str]]:
-    """Script-based language segmentation -> [(lang, run), ...]."""
+    """Script-based language segmentation -> [(lang, run), ...].
+
+    Han codepoints are shared between zh and ja; script inspection alone
+    cannot split them (the reference resolves this contextually with
+    LangSegment, preprocessor.py:110-178).  Policy here: a Han run whose
+    directly adjacent run is kana is Japanese — in Japanese text kanji are
+    tightly interleaved with kana particles/okurigana, while Chinese text
+    contains no kana at all.  Pure-Han text therefore stays zh, and
+    kana-flanked kanji route to the Japanese G2P.
+    """
     def script(ch: str) -> Optional[str]:
         o = ord(ch)
         if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
@@ -34,20 +43,48 @@ def detect_language_runs(text: str) -> List[Tuple[str, str]]:
             return "en"
         return None  # punctuation/space: attach to the current run
 
+    # sentence-boundary markers block kana-adjacency propagation
+    _BOUNDARY = "。！？!?…\n"
     runs: List[Tuple[str, str]] = []
+    boundary_after: List[bool] = []
     cur_lang: Optional[str] = None
     buf = ""
     for ch in text:
         s = script(ch)
         if s is None or s == cur_lang:
             buf += ch
+            if s is None and ch in _BOUNDARY and buf:
+                runs.append((cur_lang or "zh", buf))
+                boundary_after.append(True)
+                cur_lang, buf = None, ""
             continue
         if buf:
             runs.append((cur_lang or s, buf))
+            boundary_after.append(False)
         cur_lang, buf = s, ch
     if buf:
         runs.append((cur_lang or "zh", buf))
-    return runs
+        boundary_after.append(False)
+
+    # kana adjacency: Han runs directly flanked by Japanese (within the
+    # same sentence) read as Japanese
+    labels = [lang for lang, _ in runs]
+    for i, lang in enumerate(labels):
+        if lang != "zh":
+            continue
+        prev_ja = (i > 0 and labels[i - 1] == "ja"
+                   and not boundary_after[i - 1])
+        next_ja = (i + 1 < len(runs) and runs[i + 1][0] == "ja"
+                   and not boundary_after[i])
+        if prev_ja or next_ja:
+            labels[i] = "ja"
+    merged: List[Tuple[str, str]] = []
+    for lang, run in zip(labels, (r for _, r in runs)):
+        if merged and merged[-1][0] == lang:
+            merged[-1] = (lang, merged[-1][1] + run)
+        else:
+            merged.append((lang, run))
+    return merged
 
 
 def merge_short_text_in_array(texts: List[str], threshold: int) -> List[str]:

@@ -154,6 +154,12 @@ class AudioService:
                 logger.error("uvr5 failed for %s\n%s", path,
                              traceback.format_exc())
                 trace[name] = ResponseStatus.FAILED
+        if separator is None:
+            trace["__mode__"] = "passthrough"
+            return EaseVoiceResponse(
+                ResponseStatus.SUCCESS,
+                "UVR5 passthrough: separator unavailable; input copied as "
+                "vocal, silence as accompaniment", trace)
         return EaseVoiceResponse(ResponseStatus.SUCCESS, "UVR5 Success", trace)
 
     # ---- slicer ---------------------------------------------------------------
@@ -222,6 +228,12 @@ class AudioService:
                 logger.error("denoise failed for %s\n%s", path,
                              traceback.format_exc())
                 trace[path] = ResponseStatus.FAILED
+        if denoiser is None:
+            trace["__mode__"] = "passthrough"
+            return EaseVoiceResponse(
+                ResponseStatus.SUCCESS,
+                "denoise passthrough: backend unavailable; files copied "
+                "unmodified", trace)
         return EaseVoiceResponse(ResponseStatus.SUCCESS, "Denoise Success",
                                  trace)
 
@@ -267,6 +279,14 @@ class AudioService:
         for target in (output_file, dump_file):
             with open(target, "w", encoding="utf-8") as f:
                 f.write("\n".join(lines))
+        if recognize is None:
+            # passthrough must be visible to the caller, not silent
+            trace["__mode__"] = "passthrough"
+            return EaseVoiceResponse(
+                ResponseStatus.SUCCESS,
+                "asr passthrough: no ASR backend available; empty "
+                "transcripts written (set EASEVOICE_WHISPER_DIR or install "
+                "an ASR backend)", trace)
         return EaseVoiceResponse(ResponseStatus.SUCCESS, "asr success", trace)
 
     @staticmethod
@@ -291,7 +311,27 @@ class AudioService:
                                   punc_model="ct-punc")
                 return lambda path: model.generate(input=path)[0]["text"]
         except Exception:
-            return None
+            pass
+        # TPU-native fallback for every backend: the JAX Whisper
+        # (audiokit/asr_whisper.py) fed by an HF checkpoint directory.
+        return AudioService._load_whisper_jax(language)
+
+    @staticmethod
+    def _load_whisper_jax(language: str):
+        from ..utils import paths
+
+        model_dir = os.environ.get("EASEVOICE_WHISPER_DIR") or os.path.join(
+            paths.get_base_path(), "models", "whisper")
+        try:
+            from ..audiokit.asr_whisper import WhisperASR
+
+            asr = WhisperASR(model_dir)
+            if asr.available:
+                lang = None if language == "auto" else language
+                return lambda path: asr.transcribe(path, lang)
+        except Exception:
+            logger.error("whisper-jax load failed\n%s",
+                         traceback.format_exc())
         return None
 
     # ---- refinement -------------------------------------------------------------

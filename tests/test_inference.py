@@ -46,6 +46,26 @@ def test_detect_language_runs():
     assert runs[1][1] == "你好"
 
 
+def test_detect_language_runs_kana_adjacency():
+    # plain Japanese: kanji flanked by kana all route to ja
+    runs = detect_language_runs("私は学生です")
+    assert [l for l, _ in runs] == ["ja"]
+    # ja+en mix keeps English; kanji stay Japanese
+    runs = detect_language_runs("これはappleです")
+    assert [l for l, _ in runs] == ["ja", "en", "ja"]
+    # pure Chinese never becomes ja
+    runs = detect_language_runs("今天天气很好。")
+    assert [l for l, _ in runs] == ["zh"]
+    # zh+en unaffected by the adjacency rule
+    runs = detect_language_runs("我用Python写代码")
+    assert [l for l, _ in runs] == ["zh", "en", "zh"]
+    # explicit zh+ja mix: the kana-touching Han run goes ja, the
+    # punctuation-separated leading Chinese sentence stays zh
+    runs = detect_language_runs("你好。日本語を勉強します")
+    assert runs[0][0] == "zh" and "你好" in runs[0][1]
+    assert all(l == "ja" for l, _ in runs[1:])
+
+
 def test_merge_short_text():
     assert merge_short_text_in_array(["ab", "cd", "efgh"], 5) == ["abcdefgh"]
     assert merge_short_text_in_array(["abcde", "fg"], 5) == ["abcdefg"]
