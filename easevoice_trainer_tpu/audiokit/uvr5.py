@@ -294,7 +294,58 @@ def load_band_params(name: str = "4band_v2.json") -> dict:
         mp = json.load(f)
     if "bins" not in mp and "n_bins" in mp:   # 4band_v3_sn spelling
         mp["bins"] = mp["n_bins"]
+    # defaults the reference's ModelParameters fills in
+    for key, val in (("mid_side", False), ("mid_side_b2", False),
+                     ("reverse", False), ("pre_filter_start", 0),
+                     ("pre_filter_stop", 0)):
+        mp.setdefault(key, val)
     return mp
+
+
+def _fft_lp_filter(spec: np.ndarray, start: int, stop: int) -> np.ndarray:
+    """Linear fade-out over [start, stop), zero above (spec_utils.py:434)."""
+    spec = spec.copy()
+    n = stop - start
+    if n > 0:
+        gains = 1.0 - (np.arange(1, n + 1) / n)
+        spec[:, start:stop] *= gains[None, :, None]
+    spec[:, stop:] = 0
+    return spec
+
+
+def _fft_hp_filter(spec: np.ndarray, start: int, stop: int) -> np.ndarray:
+    """Linear fade-out downward over (stop, start], zero at/below stop
+    (spec_utils.py:445; called with stop = hpf_stop - 1)."""
+    spec = spec.copy()
+    n = start - stop
+    if n > 0:
+        gains = 1.0 - (np.arange(1, n + 1) / n)
+        spec[:, start:stop:-1] *= gains[None, :, None]
+    spec[:, :stop + 1] = 0
+    return spec
+
+
+def _encode_channels(wav: np.ndarray, mp: dict) -> np.ndarray:
+    """Stereo pre-transform before analysis (spec_utils.py:31-46)."""
+    if mp.get("reverse"):
+        return np.stack([np.flip(wav[0]), np.flip(wav[1])])
+    if mp.get("mid_side"):
+        return np.stack([(wav[0] + wav[1]) / 2, wav[0] - wav[1]])
+    if mp.get("mid_side_b2"):
+        return np.stack([wav[1] + wav[0] * 0.5, wav[0] - wav[1] * 0.5])
+    return wav
+
+
+def _decode_channels(wav: np.ndarray, mp: dict) -> np.ndarray:
+    """Inverse stereo transform after synthesis (spec_utils.py:297-320)."""
+    if mp.get("reverse"):
+        return np.stack([np.flip(wav[0]), np.flip(wav[1])])
+    if mp.get("mid_side"):
+        return np.stack([wav[0] + wav[1] / 2, wav[0] - wav[1] / 2])
+    if mp.get("mid_side_b2"):
+        return np.stack([wav[1] / 1.25 + 0.4 * wav[0],
+                         wav[0] / 1.25 - 0.4 * wav[1]])
+    return wav
 
 
 def _stft(wav: np.ndarray, n_fft: int, hop: int) -> np.ndarray:
@@ -361,17 +412,30 @@ class VRSeparator:
     # ---- multiband analysis ------------------------------------------------
 
     def _band_specs(self, wav44: np.ndarray) -> List[np.ndarray]:
+        """Per-band STFTs, resampling progressively DOWN the band chain
+        (separate.py:110-136: top band at native sr, each lower band
+        resampled from the one above it)."""
         bands = self.mp["band"]
-        specs = []
-        for b in sorted(bands, key=int):
+        order = sorted(bands, key=int)
+        waves: Dict[str, np.ndarray] = {}
+        prev = None
+        for b in reversed(order):
             bp = bands[b]
-            band_wav = wav44 if bp["sr"] == self.mp["sr"] else \
-                audio_io.resample(wav44, self.mp["sr"], bp["sr"])
-            specs.append(_stft(band_wav, bp["n_fft"], bp["hl"]))
-        return specs
+            if prev is None:
+                waves[b] = wav44
+            else:
+                prev_bp = bands[prev]
+                waves[b] = (waves[prev] if bp["sr"] == prev_bp["sr"]
+                            else audio_io.resample(
+                                waves[prev], prev_bp["sr"], bp["sr"]))
+            prev = b
+        return [_stft(waves[b], bands[b]["n_fft"], bands[b]["hl"])
+                for b in order]
 
     def _combine(self, specs: List[np.ndarray]) -> np.ndarray:
-        """Stack cropped band bins -> (2, bins, frames) complex."""
+        """Stack cropped band bins -> (2, bins, frames) complex, with the
+        reference's pre-filter roll-off above pre_filter_start
+        (spec_utils.py:91-127)."""
         bands = self.mp["band"]
         frames = min(s.shape[2] for s in specs)
         rows = []
@@ -382,7 +446,18 @@ class VRSeparator:
         pad = self.mp["bins"] + 1 - comb.shape[1]
         if pad > 0:
             comb = np.pad(comb, ((0, 0), (0, pad), (0, 0)))
-        return comb[:, :self.mp["bins"] + 1]
+        comb = comb[:, :self.mp["bins"] + 1]
+        pfs, pfe = self.mp["pre_filter_start"], self.mp["pre_filter_stop"]
+        if pfs > 0:
+            if len(bands) == 1:
+                comb = _fft_lp_filter(comb, pfs, pfe)
+            else:
+                gp = 1.0
+                for b in range(pfs + 1, pfe):
+                    g = 10 ** (-(b - pfs) * (3.5 - gp) / 20.0)
+                    gp = g
+                    comb[:, b] *= g
+        return comb
 
     def _split_mask(self, masked: np.ndarray,
                     specs: List[np.ndarray]) -> List[np.ndarray]:
@@ -442,6 +517,9 @@ class VRSeparator:
         """mono/stereo float wav -> (vocals, accompaniment) mono float."""
         if sr != self.mp["sr"]:
             wav = audio_io.resample(wav, sr, self.mp["sr"])
+        if wav.ndim == 1:
+            wav = np.stack([wav, wav])
+        wav = _encode_channels(wav, self.mp)
         specs = self._band_specs(wav)
         comb = self._combine(specs)
         mag = np.abs(comb).astype(np.float32)
@@ -467,19 +545,46 @@ class VRSeparator:
         return vocal[:n], inst[:n]
 
     def _multiband_to_wave(self, band_specs: List[np.ndarray]) -> np.ndarray:
+        """Progressive synthesis up the band chain with the reference's
+        band-edge fades (spec_utils.py cmb_spectrogram_to_wave:356-431):
+        lowest band low-pass-faded, mid bands band-pass-faded, the running
+        sum resampled up to each next band's rate, the top band
+        high-pass-faded.  Returns mono (stereo mean)."""
         bands = self.mp["band"]
-        total = None
-        for spec, b in zip(band_specs, sorted(bands, key=int)):
+        order = sorted(bands, key=int)
+        bands_n = len(order)
+        wave: Optional[np.ndarray] = None
+        for d, (spec, b) in enumerate(zip(band_specs, order), start=1):
             bp = bands[b]
-            wav_b = _istft(spec, bp["hl"]).mean(axis=0)
-            if bp["sr"] != self.mp["sr"]:
-                wav_b = audio_io.resample(wav_b, bp["sr"], self.mp["sr"])
-            if total is None:
-                total = wav_b
+            if d == bands_n:
+                if bp.get("hpf_start", 0) > 0:
+                    spec = _fft_hp_filter(spec, bp["hpf_start"],
+                                          bp["hpf_stop"] - 1)
+                band_wave = _istft(spec, bp["hl"])
+                if bands_n == 1:
+                    wave = band_wave
+                else:
+                    n = min(wave.shape[-1], band_wave.shape[-1])
+                    wave = wave[:, :n] + band_wave[:, :n]
+            elif d == 1:
+                spec = _fft_lp_filter(spec, bp["lpf_start"], bp["lpf_stop"])
+                next_sr = bands[order[d]]["sr"]
+                wave = _istft(spec, bp["hl"])
+                if next_sr != bp["sr"]:
+                    wave = audio_io.resample(wave, bp["sr"], next_sr)
             else:
-                n = min(len(total), len(wav_b))
-                total = total[:n] + wav_b[:n]
-        return total if total is not None else np.zeros(1, np.float32)
+                spec = _fft_hp_filter(spec, bp["hpf_start"],
+                                      bp["hpf_stop"] - 1)
+                spec = _fft_lp_filter(spec, bp["lpf_start"], bp["lpf_stop"])
+                band_wave = _istft(spec, bp["hl"])
+                n = min(wave.shape[-1], band_wave.shape[-1])
+                wave = wave[:, :n] + band_wave[:, :n]
+                next_sr = bands[order[d]]["sr"]
+                if next_sr != bp["sr"]:
+                    wave = audio_io.resample(wave, bp["sr"], next_sr)
+        if wave is None:
+            return np.zeros(1, np.float32)
+        return _decode_channels(np.atleast_2d(wave), self.mp).mean(axis=0)
 
 
 # ---------------------------------------------------------------------------

@@ -67,12 +67,16 @@ def resample(data: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
         from .. import native
 
         if native.available():
-            return native.resample_poly(data, up, down)
+            if data.ndim == 1:
+                return native.resample_poly(data, up, down)
+            return np.stack([native.resample_poly(ch, up, down)
+                             for ch in data])
     except Exception:
         pass
     from scipy.signal import resample_poly
 
-    return resample_poly(data, up, down).astype(np.float32)
+    # time is the LAST axis (multichannel audio is (channels, samples))
+    return resample_poly(data, up, down, axis=-1).astype(np.float32)
 
 
 def have_ffmpeg() -> bool:
