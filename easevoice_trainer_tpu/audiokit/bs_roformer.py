@@ -143,6 +143,7 @@ class RoformerTransformer(nn.Module):
     heads: int
     dim_head: int
     use_rotary: bool = True
+    norm_output: bool = False   # BSRoformer: False; MelBandRoformer: True
 
     @nn.compact
     def __call__(self, x):
@@ -150,6 +151,8 @@ class RoformerTransformer(nn.Module):
             x = RoformerAttention(self.dim, self.heads, self.dim_head,
                                   self.use_rotary, name=f"attn_{i}")(x) + x
             x = RoformerFFN(self.dim, name=f"ff_{i}")(x) + x
+        if self.norm_output:
+            x = RMSNorm(self.dim, name="norm")(x)
         return x
 
 
@@ -396,3 +399,195 @@ class BSRoformerSeparator:
         vocal = out.mean(axis=0)
         inst = wav.mean(axis=0)[:len(vocal)] - vocal
         return vocal, inst
+
+
+# ---------------------------------------------------------------------------
+# MelBandRoformer (reference: lib_v5/vr_network/mel_band_roformer.py:244-480)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MelBandRoformerConfig:
+    """Mel-banded variant: overlapping mel-filter bands instead of the fixed
+    freq split; per-transformer trailing RMSNorm, no final_norm; MLP in the
+    mask estimator has depth+1 linears (mel_band_roformer.py:184-243)."""
+
+    dim: int = 384
+    depth: int = 6
+    stereo: bool = True
+    num_stems: int = 1
+    time_transformer_depth: int = 1
+    freq_transformer_depth: int = 1
+    num_bands: int = 60
+    dim_head: int = 64
+    heads: int = 8
+    sample_rate: int = 44100
+    stft_n_fft: int = 2048
+    stft_hop_length: int = 441
+    stft_win_length: int = 2048
+    mask_estimator_depth: int = 1
+
+    @property
+    def audio_channels(self) -> int:
+        return 2 if self.stereo else 1
+
+
+def mel_band_membership(cfg: MelBandRoformerConfig):
+    """(freq_indices, dim_inputs, num_bands_per_freq) from the slaney mel
+    bank, corner bins pinned (mel_band_roformer.py:314-341)."""
+    from ..ops.mel import mel_filterbank
+
+    fb = mel_filterbank(cfg.sample_rate, cfg.stft_n_fft, cfg.num_bands)
+    fb = fb.copy()
+    fb[0, 0] = 1.0
+    fb[-1, -1] = 1.0
+    member = fb > 0                                   # (bands, freqs)
+    assert member.any(axis=0).all(), "every freq must belong to some band"
+    freqs = member.shape[1]
+    idx_rows = [np.nonzero(row)[0] for row in member]
+    flat = np.concatenate(idx_rows)
+    if cfg.stereo:
+        flat = (np.repeat(flat, 2) * 2
+                + np.tile(np.arange(2), len(flat)))   # (f s) fold
+    dim_inputs = tuple(2 * len(r) * cfg.audio_channels for r in idx_rows)
+    num_bands_per_freq = member.sum(axis=0).astype(np.float32)
+    return flat.astype(np.int32), dim_inputs, num_bands_per_freq
+
+
+class MelMaskEstimator(nn.Module):
+    """Like MaskEstimator but with depth+1 linears per MLP."""
+
+    dim: int
+    dim_inputs: Tuple[int, ...]
+    depth: int = 1
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        outs = []
+        hidden = self.dim * self.expansion
+        for i, d_in in enumerate(self.dim_inputs):
+            y = x[..., i, :]
+            dims = [hidden] * self.depth + [d_in * 2]
+            for j, d_out in enumerate(dims):
+                y = nn.Dense(d_out, name=f"mlp_{i}_{j}")(y)
+                if j < len(dims) - 1:
+                    y = jnp.tanh(y)
+            a, b = jnp.split(y, 2, axis=-1)           # GLU
+            outs.append(a * nn.sigmoid(b))
+        return jnp.concatenate(outs, axis=-1)
+
+
+class MelBandRoformer(nn.Module):
+    cfg: MelBandRoformerConfig = MelBandRoformerConfig()
+
+    @nn.compact
+    def __call__(self, spec_in: jnp.ndarray) -> jnp.ndarray:
+        """spec_in: (B, F*S, T, 2) stereo-folded STFT (freq-major, like
+        BSRoformer). Returns the band-averaged complex mask, same shape."""
+        c = self.cfg
+        freq_idx, dim_inputs, nbpf = mel_band_membership(c)
+        b, fs, t, _ = spec_in.shape
+
+        gathered = jnp.take(spec_in, jnp.asarray(freq_idx), axis=1)
+        x = gathered.transpose(0, 2, 1, 3).reshape(b, t, -1)  # (B,T,(M C))
+        x = BandSplit(c.dim, dim_inputs, name="band_split")(x)
+        nb = x.shape[2]
+
+        for layer in range(c.depth):
+            y = x.transpose(0, 2, 1, 3).reshape(b * nb, t, c.dim)
+            y = RoformerTransformer(c.dim, c.time_transformer_depth, c.heads,
+                                    c.dim_head, norm_output=True,
+                                    name=f"time_{layer}")(y)
+            x = y.reshape(b, nb, t, c.dim).transpose(0, 2, 1, 3)
+            y = x.reshape(b * t, nb, c.dim)
+            y = RoformerTransformer(c.dim, c.freq_transformer_depth, c.heads,
+                                    c.dim_head, norm_output=True,
+                                    name=f"freq_{layer}")(y)
+            x = y.reshape(b, t, nb, c.dim)
+
+        masks = MelMaskEstimator(c.dim, dim_inputs, c.mask_estimator_depth,
+                                 name="mask_0")(x)     # (B, T, sum(M C))
+        m = masks.reshape(b, t, -1, 2).transpose(0, 2, 1, 3)  # (B, M, T, 2)
+        # scatter-add overlapping band masks back onto freq bins, average
+        summed = jax.ops.segment_sum(
+            m.transpose(1, 0, 2, 3), jnp.asarray(freq_idx),
+            num_segments=fs)                            # (FS, B, T, 2)
+        summed = summed.transpose(1, 0, 2, 3)
+        denom = np.repeat(nbpf, c.audio_channels)       # folded (f s)
+        return summed / jnp.maximum(
+            jnp.asarray(denom)[None, :, None, None], 1e-8)
+
+
+def convert_mel_band_roformer(state: Dict[str, np.ndarray],
+                              cfg: MelBandRoformerConfig) -> dict:
+    from ..train.ckpt import unflatten_tree
+
+    p: Dict[str, np.ndarray] = {}
+
+    def lin(tkey, fkey, bias_key=None):
+        p[f"{fkey}/kernel"] = state[tkey].T
+        if bias_key:
+            p[f"{fkey}/bias"] = state[bias_key]
+
+    _, dim_inputs, _ = mel_band_membership(cfg)
+    for i in range(len(dim_inputs)):
+        p[f"band_split/norm_{i}/gamma"] = state[
+            f"band_split.to_features.{i}.0.gamma"]
+        lin(f"band_split.to_features.{i}.1.weight", f"band_split/proj_{i}",
+            f"band_split.to_features.{i}.1.bias")
+
+    for L in range(cfg.depth):
+        for idx, (name, depth) in enumerate(
+                (("time", cfg.time_transformer_depth),
+                 ("freq", cfg.freq_transformer_depth))):
+            for d in range(depth):
+                t = f"layers.{L}.{idx}.layers.{d}"
+                f = f"{name}_{L}/attn_{d}"
+                p[f"{f}/norm/gamma"] = state[f"{t}.0.norm.gamma"]
+                lin(f"{t}.0.to_qkv.weight", f"{f}/to_qkv")
+                lin(f"{t}.0.to_gates.weight", f"{f}/to_gates",
+                    f"{t}.0.to_gates.bias")
+                lin(f"{t}.0.to_out.0.weight", f"{f}/to_out")
+                f = f"{name}_{L}/ff_{d}"
+                p[f"{f}/norm/gamma"] = state[f"{t}.1.net.0.gamma"]
+                lin(f"{t}.1.net.1.weight", f"{f}/ff1", f"{t}.1.net.1.bias")
+                lin(f"{t}.1.net.4.weight", f"{f}/ff2", f"{t}.1.net.4.bias")
+            p[f"{name}_{L}/norm/gamma"] = state[
+                f"layers.{L}.{idx}.norm.gamma"]
+
+    for i in range(len(dim_inputs)):
+        t = f"mask_estimators.0.to_freqs.{i}.0"
+        for j in range(cfg.mask_estimator_depth + 1):
+            lin(f"{t}.{2 * j}.weight", f"mask_0/mlp_{i}_{j}",
+                f"{t}.{2 * j}.bias")
+    return unflatten_tree(p)
+
+
+class MelBandRoformerSeparator(BSRoformerSeparator):
+    """Windowed demix with the mel-banded model (same chunking as
+    BSRoformerSeparator; the model emits the already-averaged mask)."""
+
+    def __init__(self, model_path: str):
+        import torch
+
+        raw = torch.load(model_path, map_location="cpu", weights_only=False)
+        if isinstance(raw, dict) and "state_dict" in raw:
+            raw = raw["state_dict"]
+        state = {k: v.detach().to(torch.float32).numpy()
+                 for k, v in raw.items() if hasattr(v, "detach")}
+        cfg = MelBandRoformerConfig()
+        self._init_mel(convert_mel_band_roformer(state, cfg), cfg)
+
+    def _init_mel(self, params: dict, cfg: MelBandRoformerConfig) -> None:
+        self.cfg = cfg
+        self.model = MelBandRoformer(cfg)
+        self.params = {"params": params}
+        self._apply = jax.jit(self.model.apply)
+
+    @classmethod
+    def from_params(cls, params: dict,
+                    cfg: MelBandRoformerConfig) -> "MelBandRoformerSeparator":
+        self = cls.__new__(cls)
+        self._init_mel(params, cfg)
+        return self

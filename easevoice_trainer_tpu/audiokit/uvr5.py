@@ -623,14 +623,16 @@ def get_separator(model_name: str):
     weights_root = os.path.join(paths.get_base_path(), "models",
                                 "uvr5_weights")
     if "roformer" in lowered:
-        from .bs_roformer import BSRoformerSeparator
+        from .bs_roformer import BSRoformerSeparator, MelBandRoformerSeparator
 
+        cls = (MelBandRoformerSeparator if "mel" in lowered
+               else BSRoformerSeparator)
         for cand in (model_name + ".ckpt", model_name + ".pth", model_name):
             path = os.path.join(weights_root, cand)
             if os.path.exists(path):
-                return BSRoformerSeparator(path)
+                return cls(path)
         raise FileNotFoundError(
-            f"BS-Roformer weights not found under {weights_root}")
+            f"Roformer weights not found under {weights_root}")
     if "mdx" in lowered or "onnx" in lowered:
         from .mdxnet import MDXSeparator
 

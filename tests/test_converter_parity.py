@@ -158,6 +158,57 @@ def test_deecho_cascaded_net_parity(rng):
                                atol=1e-3, rtol=1e-3)
 
 
+def test_mel_band_roformer_parity(rng):
+    """Reference MelBandRoformer (mel_band_roformer.py:244) vs ours,
+    end-to-end audio -> mask -> audio."""
+    from easevoice_trainer_tpu.audiokit import bs_roformer as jbs
+    from easevoice_trainer_tpu.ops.mel import mel_filterbank
+
+    # the reference imports `from attend import Attend` (bare) and
+    # `from librosa import filters` — provide both
+    if "attend" not in sys.modules:
+        vr = os.path.join(REF, "src/audiokit/uvr5/lib_v5/vr_network")
+        sys.path.insert(0, vr)
+        import attend  # noqa: F401
+        sys.path.remove(vr)
+    lib = sys.modules.get("librosa")
+    if lib is None:
+        lib = types.ModuleType("librosa")
+        sys.modules["librosa"] = lib
+    if not hasattr(lib, "filters"):
+        filt = types.ModuleType("librosa.filters")
+        filt.mel = lambda sr, n_fft, n_mels: mel_filterbank(sr, n_fft, n_mels)
+        lib.filters = filt
+        sys.modules["librosa.filters"] = filt
+
+    from src.audiokit.uvr5.lib_v5.vr_network.mel_band_roformer import (
+        MelBandRoformer)
+
+    kw = dict(dim=32, depth=2, stereo=True, num_stems=1,
+              time_transformer_depth=1, freq_transformer_depth=1,
+              num_bands=12, heads=2, dim_head=16, sample_rate=44100,
+              stft_n_fft=512, stft_hop_length=128, stft_win_length=512,
+              mask_estimator_depth=1, attn_dropout=0.0, ff_dropout=0.0,
+              flash_attn=False, match_input_audio_length=True)
+    torch.manual_seed(0)
+    tnet = MelBandRoformer(**kw).eval()
+
+    wav = rng.uniform(-0.5, 0.5, (2, 4096)).astype(np.float32)
+    with torch.no_grad():
+        ref = tnet(torch.from_numpy(wav)[None]).numpy()[0]
+
+    cfg = jbs.MelBandRoformerConfig(
+        dim=32, depth=2, stereo=True, time_transformer_depth=1,
+        freq_transformer_depth=1, num_bands=12, heads=2, dim_head=16,
+        sample_rate=44100, stft_n_fft=512, stft_hop_length=128,
+        stft_win_length=512, mask_estimator_depth=1)
+    state = _state_np(tnet)
+    params = jbs.convert_mel_band_roformer(state, cfg)
+    sep = jbs.MelBandRoformerSeparator.from_params(params, cfg)
+    ours = sep._run_chunk(wav)
+    np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
+
+
 def test_bs_roformer_parity(rng):
     from src.audiokit.uvr5.lib_v5.vr_network.bs_roformer import BSRoformer
     from easevoice_trainer_tpu.audiokit import bs_roformer as jbs
