@@ -21,6 +21,7 @@ import subprocess
 import sys
 import tempfile
 import threading
+from pathlib import Path
 from dataclasses import asdict, is_dataclass
 from datetime import datetime
 from enum import Enum
@@ -244,10 +245,16 @@ def start_task_with_subprocess(uid: str, cmd_module: str, request: Any) -> None:
         json.dump(params, fp)
         temp_file_path = fp.name
 
+    # The child resolves the package by import, not cwd: prepend the package
+    # parent dir to PYTHONPATH so spawning works from any working directory.
+    env = dict(os.environ)
+    pkg_parent = str(Path(__file__).resolve().parents[2])
+    env["PYTHONPATH"] = (pkg_parent + os.pathsep + env["PYTHONPATH"]
+                         if env.get("PYTHONPATH") else pkg_parent)
     proc = subprocess.Popen(
         [sys.executable, "-m", f"easevoice_trainer_tpu.cmd.{cmd_module}",
          "-c", temp_file_path],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
     _manager().add_session_subprocess(uid, proc.pid)
     connector = MultiProcessOutputConnector()
     for data in connector.read_data(proc):

@@ -17,6 +17,9 @@ def test_main_dry_run(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env["EASEVOICE_PORT"] = str(free_port)
     env["EASEVOICE_TRAINER_NAMESPACES_ROOT"] = str(tmp_path / "ns")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = (repo_root + os.pathsep + env["PYTHONPATH"]
+                         if env.get("PYTHONPATH") else repo_root)
     proc = subprocess.run(
         [sys.executable, "-m", "easevoice_trainer_tpu.main", "--dry-run"],
         capture_output=True, timeout=240, env=env, cwd=str(tmp_path),
