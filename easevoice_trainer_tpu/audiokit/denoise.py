@@ -1,17 +1,23 @@
 """Speech denoising stage.
 
 The reference wraps modelscope's FRCRN ANS pipeline
-(reference: src/audiokit/denoise/denoise.py:9-21).  modelscope/torch-FRCRN
-weights are not present in this environment; ``Denoise`` therefore tries
-(1) a modelscope pipeline when importable, then (2) a light spectral-gate
-denoiser implemented here (noise-floor estimate per band + soft mask) as a
-dependency-free fallback. [[denoise-frcrn-port]] tracks a JAX FRCRN port.
+(reference: src/audiokit/denoise/denoise.py:9-21).  Backend order here:
+
+1. a modelscope pipeline when the package is importable (exact reference
+   behavior);
+2. the TPU-native JAX FRCRN port (:mod:`.frcrn`) when a torch checkpoint
+   is present (``EASEVOICE_FRCRN_PATH`` or
+   ``{base}/models/denoise/speech_frcrn_ans_cirm_16k/``);
+3. a light spectral-gate denoiser (noise-floor estimate per band + soft
+   mask) as a dependency-free fallback — a different algorithm, exposed
+   as such via :attr:`Denoise.backend`.
 """
 from __future__ import annotations
 
 import numpy as np
 
 from ..utils import audio_io
+from ..utils.logger import logger
 
 
 class Denoise:
@@ -19,6 +25,8 @@ class Denoise:
 
     def __init__(self):
         self._pipeline = None
+        self._frcrn = None
+        self.backend = "spectral-gate"
         try:
             from modelscope.pipelines import pipeline
             from modelscope.utils.constant import Tasks
@@ -26,12 +34,28 @@ class Denoise:
             self._pipeline = pipeline(
                 Tasks.acoustic_noise_suppression,
                 model="damo/speech_frcrn_ans_cirm_16k")
+            self.backend = "modelscope"
+            return
         except Exception:
             self._pipeline = None
+        try:
+            from . import frcrn
+
+            path = frcrn.default_model_path()
+            if path:
+                self._frcrn = frcrn.FRCRNDenoiser(path)
+                self.backend = "frcrn-jax"
+        except Exception:
+            logger.exception("FRCRN weights present but failed to load; "
+                             "falling back to spectral gate")
+            self._frcrn = None
 
     def denoise(self, input_path: str, output_path: str) -> None:
         if self._pipeline is not None:
             self._pipeline(input_path, output_path=output_path)
+            return
+        if self._frcrn is not None:
+            self._frcrn.denoise(input_path, output_path)
             return
         wav, sr = audio_io.read_wav(input_path)
         out = spectral_gate(wav, sr)

@@ -222,7 +222,7 @@ class AudioService:
                 if denoiser is None:
                     shutil.copyfile(path, out)
                 else:
-                    denoiser(path, out)
+                    denoiser.denoise(path, out)
                 trace[path] = ResponseStatus.SUCCESS
             except Exception:
                 logger.error("denoise failed for %s\n%s", path,
@@ -234,6 +234,8 @@ class AudioService:
                 ResponseStatus.SUCCESS,
                 "denoise passthrough: backend unavailable; files copied "
                 "unmodified", trace)
+        # which model actually ran (modelscope / frcrn-jax / spectral-gate)
+        trace["__backend__"] = denoiser.backend
         return EaseVoiceResponse(ResponseStatus.SUCCESS, "Denoise Success",
                                  trace)
 
@@ -242,8 +244,7 @@ class AudioService:
         try:
             from ..audiokit.denoise import Denoise
 
-            d = Denoise()
-            return d.denoise
+            return Denoise()
         except Exception:
             return None
 
