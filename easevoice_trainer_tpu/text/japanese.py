@@ -1,25 +1,49 @@
-"""Japanese G2P (pyopenjtalk prosody marks).
+"""Japanese G2P (pyopenjtalk prosody marks, with a vendored fallback).
 
 The reference uses pyopenjtalk's full-context labels to emit phonemes with
-prosody symbols ([ ] # ^ $ ?; reference: src/easevoice/text/japanese.py:142-236).
-pyopenjtalk bundles a native OpenJTalk dictionary and is an optional
-dependency here; without it this module raises a clear error at use.
-A kana-only fallback handles pure-kana input via a romaji table.
+prosody symbols ([ ] # ^ $ ?; reference: src/easevoice/text/japanese.py:
+109-236), splitting the input on non-Japanese marks and stripping the
+^/$/? sentence anchors per segment (preprocess_jap:109-130).
+
+Without pyopenjtalk this module falls back to a vendored pipeline:
+
+* kanji→kana via ``data/kanji_readings.json`` (greedy word lookup, then
+  on-readings for kanji compounds / kun-readings for single kanji —
+  unknown kanji are dropped with a log line);
+* kana→phoneme with youon digraphs (きゃ→ky a), sokuon→q, hatsuon→N,
+  long vowels (ー and お+う) collapsed to the repeated vowel;
+* a default-accent (heiban/0-type) prosody contour: '[' rise after the
+  first mora of each accent phrase.  True accent positions need the
+  OpenJTalk dictionary; this fallback keeps the output format while
+  defaulting the contour (documented approximation).
 """
 from __future__ import annotations
 
+import json
+import os
 import re
+from functools import lru_cache
 from typing import List
 
 from .symbols import PUNCTUATION
+from ..utils.logger import logger
 
 _REP_MAP = {"：": ",", "；": ",", "，": ",", "。": ".", "！": "!", "？": "?",
-            "\n": ".", "·": ",", "、": ",", "…": "…"}
+            "\n": ".", "·": ",", "、": ",", "...": "…"}
+
+# reference japanese.py:41-48
+_JAPANESE_CHARS = re.compile(
+    r"[A-Za-z\d々぀-ヿ一-鿿１-９Ａ-Ｚ"
+    r"ａ-ｚｦ-ﾝ]")
+_JAPANESE_MARKS = re.compile(
+    r"[^A-Za-z\d々぀-ヿ一-鿿１-９Ａ-Ｚ"
+    r"ａ-ｚｦ-ﾝ]")
+_SYMBOLS_TO_JAPANESE = [(re.compile("％"), "パーセント")]
 
 _KATA_START = 0x30A1
 _HIRA_START = 0x3041
 
-# kana -> romaji (phoneme string) for the no-dependency fallback
+# base kana -> phones; youon digraphs are composed below
 _KANA_ROMAJI = {
     "あ": "a", "い": "i", "う": "u", "え": "e", "お": "o",
     "か": "k a", "き": "k i", "く": "k u", "け": "k e", "こ": "k o",
@@ -35,14 +59,45 @@ _KANA_ROMAJI = {
     "ま": "m a", "み": "m i", "む": "m u", "め": "m e", "も": "m o",
     "や": "y a", "ゆ": "y u", "よ": "y o",
     "ら": "r a", "り": "r i", "る": "r u", "れ": "r e", "ろ": "r o",
-    "わ": "w a", "を": "o", "ん": "N", "っ": "q", "ー": ":",
+    "わ": "w a", "ゐ": "i", "ゑ": "e", "を": "o", "ん": "N",
+    "ゔ": "v u",
+    "ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o",
 }
+# consonant-i kana + small ゃゅょ -> youon initial
+_YOUON_INITIAL = {"き": "ky", "ぎ": "gy", "し": "sh", "じ": "j",
+                  "ち": "ch", "ぢ": "j", "に": "ny", "ひ": "hy",
+                  "び": "by", "ぴ": "py", "み": "my", "り": "ry"}
+_SMALL_Y = {"ゃ": "a", "ゅ": "u", "ょ": "o"}
+_SMALL_VOWELS = {"ぁ": "a", "ぃ": "i", "ぅ": "u", "ぇ": "e", "ぉ": "o"}
+_VOWELS = {"a", "i", "u", "e", "o"}
+
+
+@lru_cache(maxsize=1)
+def _readings():
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "data", "kanji_readings.json"),
+              encoding="utf-8") as fp:
+        data = json.load(fp)
+    # derive inflection stems: 楽しい->たのしい also yields 楽し->たのし so
+    # conjugated forms (楽しかった) resolve through the word path
+    words = dict(data["words"])
+    for w, r in list(words.items()):
+        if (len(w) >= 2 and len(r) >= 2 and w[-1] == r[-1]
+                and "ぁ" <= w[-1] <= "ゖ"):
+            stem, rs = w[:-1], r[:-1]
+            if _KANJI.search(stem) and stem not in words:
+                words[stem] = rs
+    data = dict(data)
+    data["words"] = words
+    return data
 
 
 def text_normalize(text: str) -> str:
     for p, r in _REP_MAP.items():
         text = text.replace(p, r)
-    return text
+    # avoid reference leakage from repeated punctuation (reference:96-100)
+    punct = "".join(re.escape(p) for p in PUNCTUATION)
+    return re.sub(f"([{punct}])([{punct}])+", r"\1", text)
 
 
 def _kata_to_hira(text: str) -> str:
@@ -52,27 +107,139 @@ def _kata_to_hira(text: str) -> str:
         for ch in text)
 
 
+_KANJI = re.compile(r"[一-鿿々]")
+
+
+def kanji_to_kana(text: str) -> str:
+    """Greedy word lookup, then on (compounds) / kun (single) readings."""
+    data = _readings()
+    words, on, kun = data["words"], data["on"], data["kun"]
+    max_w = max(len(w) for w in words)
+    out: List[str] = []
+    i = 0
+    while i < len(text):
+        matched = False
+        for ln in range(min(max_w, len(text) - i), 1, -1):
+            cand = text[i:i + ln]
+            if cand in words:
+                out.append(words[cand])
+                i += ln
+                matched = True
+                break
+        if matched:
+            continue
+        ch = text[i]
+        if not _KANJI.match(ch):
+            # は directly after a kanji word is the topic particle (わ)
+            if ch == "は" and i > 0 and (_KANJI.match(text[i - 1])
+                                         or text[i - 1] in "んンー"):
+                out.append("わ")
+            else:
+                out.append(ch)
+            i += 1
+            continue
+        if ch in words:
+            out.append(words[ch])
+            i += 1
+            continue
+        # bare kanji run: length >= 2 -> on readings, single -> kun
+        j = i
+        while j < len(text) and _KANJI.match(text[j]):
+            j += 1
+        run = text[i:j]
+        table = on if len(run) >= 2 else kun
+        for k in run:
+            reading = table.get(k) or on.get(k) or kun.get(k)
+            if reading:
+                out.append(reading)
+            else:
+                logger.debug("ja fallback: unknown kanji %r dropped", k)
+        i = j
+    return "".join(out)
+
+
+def _kana_phones(kana: str) -> List[List[str]]:
+    """Hiragana -> list of moras (each a list of phone tokens)."""
+    moras: List[List[str]] = []
+    i = 0
+    while i < len(kana):
+        ch = kana[i]
+        nxt = kana[i + 1] if i + 1 < len(kana) else ""
+        if ch in _YOUON_INITIAL and nxt in _SMALL_Y:
+            moras.append([_YOUON_INITIAL[ch], _SMALL_Y[nxt]])
+            i += 2
+            continue
+        if nxt in _SMALL_VOWELS and ch in _KANA_ROMAJI and ch not in "んっ":
+            base = _KANA_ROMAJI[ch].split(" ")
+            if len(base) == 2:
+                moras.append([base[0], _SMALL_VOWELS[nxt]])
+                i += 2
+                continue
+        if ch == "っ":
+            moras.append(["q"])
+            i += 1
+            continue
+        if ch == "ー":
+            prev_vowel = next((p for m in reversed(moras)
+                               for p in reversed(m) if p in _VOWELS), None)
+            if prev_vowel:
+                moras.append([prev_vowel])
+            i += 1
+            continue
+        if ch == "う" and moras and moras[-1] and moras[-1][-1] == "o":
+            moras.append(["o"])            # お+う long vowel
+            i += 1
+            continue
+        if ch in _KANA_ROMAJI:
+            moras.append(_KANA_ROMAJI[ch].split(" "))
+            i += 1
+            continue
+        i += 1                              # unknown char dropped
+    return moras
+
+
+def _fallback_sentence(sentence: str) -> List[str]:
+    kana = _kata_to_hira(kanji_to_kana(sentence))
+    # topic particles at phrase end read わ/え (こんにちは -> konnichiwa)
+    if kana.endswith("は"):
+        kana = kana[:-1] + "わ"
+    elif kana.endswith("へ"):
+        kana = kana[:-1] + "え"
+    moras = _kana_phones(kana)
+    phones: List[str] = []
+    for k, mora in enumerate(moras):
+        phones += mora
+        if k == 0 and len(moras) > 1:
+            phones.append("[")              # default heiban rise
+    return phones
+
+
 def g2p(norm_text: str) -> List[str]:
     try:
         import pyopenjtalk  # noqa: F401
 
-        return _g2p_prosody(norm_text)
+        have_ojt = True
     except ImportError:
-        pass
-    # kana fallback
+        have_ojt = False
+
+    # reference preprocess_jap:109-130 — split on marks, strip ^/$ anchors
+    for regex, replacement in _SYMBOLS_TO_JAPANESE:
+        norm_text = regex.sub(replacement, norm_text)
+    norm_text = norm_text.lower()
+    sentences = re.split(_JAPANESE_MARKS, norm_text)
+    marks = re.findall(_JAPANESE_MARKS, norm_text)
     phones: List[str] = []
-    for ch in _kata_to_hira(norm_text):
-        if ch in _KANA_ROMAJI:
-            phones += _KANA_ROMAJI[ch].split(" ")
-        elif ch in PUNCTUATION:
-            phones.append(ch)
-        elif re.match(r"[ぁ-ゖ]", ch):
-            continue
-        elif ch.strip():
-            raise RuntimeError(
-                "Japanese G2P beyond kana requires `pyopenjtalk` "
-                "(not installed)")
-    return phones
+    for i, sentence in enumerate(sentences):
+        if re.match(_JAPANESE_CHARS, sentence):
+            if have_ojt:
+                phones += _g2p_prosody(sentence)[1:-1]
+            else:
+                phones += _fallback_sentence(sentence)
+        if i < len(marks):
+            mark = marks[i].replace(" ", "")
+            if mark:
+                phones.append(mark)
+    return [_REP_MAP.get(ph, ph) for ph in phones]
 
 
 def _g2p_prosody(text: str) -> List[str]:
