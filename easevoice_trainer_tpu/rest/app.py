@@ -433,8 +433,15 @@ def build_app(frontend_dir: str | None = None,
 
     app.add_routes(routes)
 
-    # ---- frontend static (reference hard-fails without ./dist) -----------------------
+    # ---- frontend static (reference hard-fails without ./dist; here a
+    # vendored single-file panel serves as fallback) ------------------------------------
     fdir = frontend_dir or os.path.join(os.getcwd(), "dist")
+    if not os.path.isdir(fdir):
+        builtin = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "panel")
+        if os.path.isdir(builtin) and not require_frontend:
+            logger.info("no ./dist build; serving the built-in panel")
+            fdir = builtin
     if os.path.isdir(fdir):
         async def index(request):
             return web.FileResponse(os.path.join(fdir, "index.html"))

@@ -198,3 +198,11 @@ async def test_train_start_conflict_and_stop(client, tmp_path):
             break
         await asyncio.sleep(0.3)
     assert str(info.get("status")) == "Status.FAILED"
+
+
+@async_client_test
+async def test_builtin_panel_served_without_dist(client, tmp_path):
+    r = await client.get("/")
+    assert r.status == 200
+    body = await r.text()
+    assert "EaseVoice Trainer" in body and "/apis/v1" in body
