@@ -20,6 +20,15 @@ from ..text.symbols import PUNCTUATION, cleaned_text_to_sequence
 from .segmentation import SPLITS, get_split_method
 
 
+# Han chars that exist only in Japanese orthography: shinjitai
+# simplifications that differ from both zh-simplified and traditional,
+# plus kokuji (Japan-made chars).  Any of these marks a Han run as ja.
+_JA_ONLY_HAN = set(
+    "駅円絵売読続転図広営桜気沢労伝実剣済単拝仏変挙釈録焼縄験騒辺塀斉渋"
+    "竜弐壱箇斎畳弁丼働峠辻畑込匂凪榊躾雫栃枠凧凩鰯匁麿笹"
+)
+
+
 def detect_language_runs(text: str) -> List[Tuple[str, str]]:
     """Script-based language segmentation -> [(lang, run), ...].
 
@@ -67,7 +76,9 @@ def detect_language_runs(text: str) -> List[Tuple[str, str]]:
         boundary_after.append(False)
 
     # kana adjacency: Han runs directly flanked by Japanese (within the
-    # same sentence) read as Japanese
+    # same sentence) read as Japanese.  Pure-Han runs can still be
+    # Japanese: shinjitai forms and kokuji exist only in Japanese
+    # orthography, so any such char flips the run (駅, 円, 売, 働, …).
     labels = [lang for lang, _ in runs]
     for i, lang in enumerate(labels):
         if lang != "zh":
@@ -76,7 +87,8 @@ def detect_language_runs(text: str) -> List[Tuple[str, str]]:
                    and not boundary_after[i - 1])
         next_ja = (i + 1 < len(runs) and runs[i + 1][0] == "ja"
                    and not boundary_after[i])
-        if prev_ja or next_ja:
+        if prev_ja or next_ja or any(ch in _JA_ONLY_HAN
+                                     for ch in runs[i][1]):
             labels[i] = "ja"
     merged: List[Tuple[str, str]] = []
     for lang, run in zip(labels, (r for _, r in runs)):

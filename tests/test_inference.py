@@ -169,3 +169,12 @@ def test_to_batch_ordering():
     assert sorted(flat) == [0, 1, 2, 3]
     # sorted by length: first batch holds the two shortest
     assert set(idxs[0]) == {1, 3}
+
+
+def test_detect_language_runs_ja_only_han():
+    # shinjitai/kokuji flip pure-Han runs to ja (LangSegment-grade case)
+    assert detect_language_runs("東京駅")[0][0] == "ja"
+    assert detect_language_runs("円高と労働")[0][0] == "ja"
+    # ordinary Chinese (simplified and traditional) stays zh
+    assert detect_language_runs("我爱北京天安门。")[0][0] == "zh"
+    assert detect_language_runs("佢個鋤頭太短啦。")[0][0] == "zh"
