@@ -87,13 +87,18 @@ def main():
         state, metrics = step(state, batch, jax.random.PRNGKey(i))
     float(metrics["loss/g/total"])
 
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
-    # force completion of the whole chain with a real value fetch
-    float(metrics["loss/g/total"])
-    dt = time.perf_counter() - t0
-    steps_per_sec = n_steps / dt
+    # best of 3 windows: the tunneled single-chip link adds occasional
+    # multi-hundred-ms stalls that would understate steady-state throughput
+    best_dt = float("inf")
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, metrics = step(state, batch,
+                                  jax.random.PRNGKey(100 + w * n_steps + i))
+        # force completion of the whole chain with a real value fetch
+        float(metrics["loss/g/total"])
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    steps_per_sec = n_steps / best_dt
 
     # MFU + HBM roofline from XLA's own cost model of the compiled step
     extra = {"device": jax.devices()[0].device_kind}

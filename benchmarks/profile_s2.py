@@ -73,7 +73,15 @@ def main():
     print(f"device={jax.devices()[0].device_kind} batch={batch_size} "
           f"frames={frames} iters={iters}")
 
-    timeit("full", step, state, batch, rng)
+    # full step donates `state` -> must rebind between calls
+    st, metrics = step(state, batch, rng)
+    float(np.asarray(metrics["loss/g/total"]))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        st, metrics = step(st, batch, jax.random.PRNGKey(i))
+    float(np.asarray(metrics["loss/g/total"]))
+    print(f"{'full':10s} {(time.perf_counter()-t0)/iters*1e3:9.2f} ms")
+    state = st          # original buffers were donated; use the live ones
 
     gf = jax.jit(lambda p: gen_forward(p, rng))
     outs = timeit("gen_fwd", gf, state.params_g)
@@ -94,7 +102,7 @@ def main():
         def loss(q):
             real_l, fake_l, _, _ = disc.apply({"params": q}, y, y_hat)
             return sum(jnp.mean(x) for x in real_l + fake_l)
-        return jax.grad(loss)(p)["discriminators_0"]["convs_0"]["kernel"]
+        return jax.tree_util.tree_leaves(jax.grad(loss)(p))[0]
     timeit("disc_vjp", jax.jit(disc_vjp_fn), state.params_d)
 
     timeit("mel", jax.jit(lambda w: mel_spectrogram(w[..., 0], mel_cfg)),
