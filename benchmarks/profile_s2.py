@@ -83,27 +83,30 @@ def main():
     print(f"{'full':10s} {(time.perf_counter()-t0)/iters*1e3:9.2f} ms")
     state = st          # original buffers were donated; use the live ones
 
+    params_g = jax.jit(lambda s: sovits_step.params_tree(s, "g"))(state)
+    params_d = jax.jit(lambda s: sovits_step.params_tree(s, "d"))(state)
+
     gf = jax.jit(lambda p: gen_forward(p, rng))
-    outs = timeit("gen_fwd", gf, state.params_g)
+    outs = timeit("gen_fwd", gf, params_g)
 
     def gen_vjp_fn(p):
         outs_, vjp = jax.vjp(lambda q: gen_forward(q, rng)[0], p)
         (g,) = vjp(jnp.ones_like(outs_))
         return jax.tree_util.tree_leaves(g)[0]
-    timeit("gen_vjp", jax.jit(gen_vjp_fn), state.params_g)
+    timeit("gen_vjp", jax.jit(gen_vjp_fn), params_g)
 
     y_hat = outs[0]
     y = jnp.zeros((batch_size, hp.segment_size, 1), y_hat.dtype)
 
     df = jax.jit(lambda p: disc.apply({"params": p}, y, y_hat)[1])
-    timeit("disc_fwd", df, state.params_d)
+    timeit("disc_fwd", df, params_d)
 
     def disc_vjp_fn(p):
         def loss(q):
             real_l, fake_l, _, _ = disc.apply({"params": q}, y, y_hat)
             return sum(jnp.mean(x) for x in real_l + fake_l)
         return jax.tree_util.tree_leaves(jax.grad(loss)(p))[0]
-    timeit("disc_vjp", jax.jit(disc_vjp_fn), state.params_d)
+    timeit("disc_vjp", jax.jit(disc_vjp_fn), params_d)
 
     timeit("mel", jax.jit(lambda w: mel_spectrogram(w[..., 0], mel_cfg)),
            y_hat)

@@ -33,11 +33,11 @@ class _WNConv2d(nn.Module):
     @nn.compact
     def __call__(self, x):
         kh, kw = self.kernel_size
-        kernel = _WeightNormKernel((kh, kw, self.in_features, self.features),
-                                   name="wn")()
         dtype = self.dtype or x.dtype
+        kernel = _WeightNormKernel((kh, kw, self.in_features, self.features),
+                                   name="wn", compute_dtype=dtype)()
         y = jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel.astype(dtype),
+            x.astype(dtype), kernel,
             window_strides=self.strides,
             padding=[(self.padding[0], self.padding[0]),
                      (self.padding[1], self.padding[1])],
@@ -58,12 +58,12 @@ class _WNConv1dGrouped(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        dtype = self.dtype or x.dtype
         kernel = _WeightNormKernel(
             (self.kernel_size, self.in_features // self.groups, self.features),
-            name="wn")()
-        dtype = self.dtype or x.dtype
+            name="wn", compute_dtype=dtype)()
         y = jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel.astype(dtype),
+            x.astype(dtype), kernel,
             window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
             dimension_numbers=("NHC", "HIO", "NHC"),

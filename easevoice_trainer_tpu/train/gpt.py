@@ -26,6 +26,7 @@ from ..models.gpt import Text2SemanticDecoder, T2SConfig
 from ..utils import paths
 from ..utils.connector import MultiProcessOutputConnector
 from ..utils.logger import logger
+from ..utils import rng as rng_mod
 from ..utils.response import EaseVoiceResponse, ResponseStatus
 from . import ckpt as ckpt_io
 from . import data as data_mod
@@ -201,7 +202,7 @@ class GPTTrain:
                         max_len=batch["semantic_ids"].shape[1])
                     batch["reject_semantic_ids"] = rej
                     batch["reject_semantic_ids_len"] = rej_lens
-                rng = jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                rng = jax.random.fold_in(rng_mod.fast_key(self.seed),
                                          global_step)
                 state, metrics = step_fn(state, batch, rng)
                 global_step += 1

@@ -34,6 +34,7 @@ from ..ops.stft import MelConfig
 from ..utils import paths
 from ..utils.connector import MultiProcessOutputConnector
 from ..utils.logger import logger
+from ..utils import rng as rng_mod
 from ..utils.response import EaseVoiceResponse, ResponseStatus
 from . import ckpt as ckpt_io
 from . import data as data_mod
@@ -152,15 +153,15 @@ class SovitsTrain:
     def _load_pretrained(self, state: sovits_step.S2TrainState):
         if os.path.exists(self.pretrained_s2G):
             tree, unmatched = ckpt_io.load_sovits_pretrained(self.pretrained_s2G)
-            params_g = _merge_matching(state.params_g, tree)
-            state = state.replace(params_g=params_g)
+            params_g = _merge_matching(sovits_step.params_tree(state, "g"), tree)
+            state = sovits_step.with_params_tree(state, params_g, "g")
             logger.info("loaded pretrained s2G %s (%d unmatched keys)",
                         self.pretrained_s2G, len(unmatched))
         if os.path.exists(self.pretrained_s2D):
             tree, unmatched = ckpt_io.load_sovits_discriminator(
                 self.pretrained_s2D)
-            params_d = _merge_matching(state.params_d, tree)
-            state = state.replace(params_d=params_d)
+            params_d = _merge_matching(sovits_step.params_tree(state, "d"), tree)
+            state = sovits_step.with_params_tree(state, params_d, "d")
             logger.info("loaded pretrained s2D %s (%d unmatched keys)",
                         self.pretrained_s2D, len(unmatched))
         return state
@@ -168,7 +169,8 @@ class SovitsTrain:
     def _export_weights(self, state, epoch: int) -> str:
         name = f"{self.name}_e{epoch}_s{int(state.step)}"
         path = os.path.join(self.output_dir, f"{name}.pth")
-        params_g = jax.tree_util.tree_map(np.asarray, state.params_g)
+        params_g = jax.tree_util.tree_map(
+            np.asarray, sovits_step.params_tree(state, "g"))
         ckpt_io.export_sovits_weights(
             params_g, path, config=self.raw_cfg,
             info=f"{epoch}epoch_{int(state.step)}iteration")
@@ -228,7 +230,7 @@ class SovitsTrain:
                     batcher.padded_frames(bucket_id), text_cap,
                     hop=self.mel_cfg.hop_length)
                 rng = jax.random.fold_in(
-                    jax.random.PRNGKey(self.seed), global_step)
+                    rng_mod.fast_key(self.seed), global_step)
                 state, metrics = step_fn(state, batch, rng)
                 global_step += 1
 
