@@ -1,0 +1,90 @@
+"""s1 GPT train-step timing on the current device.
+
+Measures the production step (gpt_step.make_train_step at the real
+configs/gpt.yaml geometry) and an optimizer-stubbed variant so the
+ScaledAdam share is attributable.
+
+Usage: python benchmarks/profile_gpt.py [batch] [sem_len] [iters] [--no-opt]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build(batch: int, sem_len: int, no_opt: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from easevoice_trainer_tpu.models.gpt import Text2SemanticDecoder, T2SConfig
+    from easevoice_trainer_tpu.train import gpt_step
+
+    if no_opt:
+        import optax
+        import easevoice_trainer_tpu.train.gpt_step as gs
+        gs.scaled_adam = lambda *a, **k: optax.set_to_zero()  # type: ignore
+
+    cfg = T2SConfig()          # real 512/16h/24L/2048ffn config
+    hp = gpt_step.GPTTrainHP(grad_accum=1)
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else None
+    model = Text2SemanticDecoder(cfg, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    ph_len = 48
+    batch_np = {
+        "phoneme_ids": rng.integers(0, 700, (batch, ph_len)).astype(np.int32),
+        "phoneme_ids_len": np.full((batch,), ph_len, np.int32),
+        "semantic_ids": rng.integers(0, 1024, (batch, sem_len)).astype(np.int32),
+        "semantic_ids_len": np.full((batch,), sem_len, np.int32),
+        "bert_feature": rng.normal(
+            size=(batch, ph_len, 1024)).astype(np.float32),
+    }
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        state = gpt_step.create_train_state(
+            jax.random.PRNGKey(0), model, hp, batch_np)
+        state = jax.tree_util.tree_map(np.asarray, state)
+    state = jax.device_put(state, jax.devices()[0])
+    batch_dev = jax.device_put(batch_np, jax.devices()[0])
+    step = jax.jit(gpt_step.make_train_step(model, hp), donate_argnums=(0,))
+    return state, batch_dev, step
+
+
+def main():
+    import jax
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sem_len = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    no_opt = "--no-opt" in sys.argv
+
+    state, batch_dev, step = build(batch, sem_len, no_opt)
+    for i in range(2):
+        state, metrics = step(state, batch_dev, jax.random.PRNGKey(i))
+    float(metrics["loss"])
+    best = float("inf")
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, metrics = step(state, batch_dev,
+                                  jax.random.PRNGKey(100 + w * iters + i))
+        float(metrics["loss"])
+        best = min(best, time.perf_counter() - t0)
+    label = "gpt no-opt" if no_opt else "gpt full"
+    print(f"{label} step ({batch}x{sem_len}): {best/iters*1e3:.2f} ms")
+
+    try:
+        ca = step.lower(state, batch_dev,
+                        jax.random.PRNGKey(0)).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        print(f"cost: {ca.get('flops', 0)/1e12:.3f} TFLOP, "
+              f"{ca.get('bytes accessed', 0)/1e9:.2f} GB")
+    except Exception as e:
+        print("cost analysis:", e)
+
+
+if __name__ == "__main__":
+    main()

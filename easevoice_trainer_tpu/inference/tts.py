@@ -33,6 +33,7 @@ from ..models.sovits import SynthesizerTrn, SovitsConfig
 from ..train import ckpt as ckpt_io
 from ..train.data import spectrogram_np
 from ..utils import audio_io, paths
+from ..utils import rng as rng_mod
 from ..utils.logger import logger
 from .preprocessor import TextPreprocessor
 
@@ -280,7 +281,7 @@ class TTS:
         self.set_ref_audio(task.ref_audio_path, task.aux_ref_audio_paths)
 
         seed = task.seed if task.seed and task.seed > 0 else 1234
-        rng = jax.random.PRNGKey(seed)
+        rng = rng_mod.fast_key(seed)
 
         # prompt text phones
         prompt_phones: List[int] = []

@@ -133,7 +133,8 @@ class GPTTrain:
 
     def _export_weights(self, state, epoch: int) -> str:
         path = os.path.join(self.output_dir, f"{self.name}-e{epoch}.ckpt")
-        params = jax.tree_util.tree_map(np.asarray, state.params)
+        params = jax.tree_util.tree_map(
+            np.asarray, gpt_step.params_tree(state))
         ckpt_io.export_gpt_weights(params, path, config=self.cfg_yaml,
                                    info=f"GPT-e{epoch}")
         return path
@@ -177,7 +178,8 @@ class GPTTrain:
                 logger.warning("resume failed (%s)", e)
         if start_epoch == 1 and os.path.exists(self.pretrained):
             tree, unmatched = ckpt_io.load_gpt_pretrained(self.pretrained)
-            state = state.replace(params=_merge_matching(state.params, tree))
+            state = gpt_step.with_params_tree(
+                state, _merge_matching(gpt_step.params_tree(state), tree))
             logger.info("loaded pretrained GPT %s (%d unmatched)",
                         self.pretrained, len(unmatched))
 

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import optax
 
 from ..models.gpt import Text2SemanticDecoder
+from ..parallel.gpt_sharding import gpt_arena_label
+from . import arena as arena_mod
 from .scaled_adam import scaled_adam
 
 
@@ -61,16 +63,32 @@ def warmup_cosine_schedule(hp: GPTTrainHP) -> optax.Schedule:
 
 
 class GPTTrainState(flax.struct.PyTreeNode):
+    """``params`` is arena-packed ({group: [n,*shape]}, train/arena.py);
+    groups are keyed by tensor-parallel shard class so stacked leaves
+    shard identically.  ``arena`` is the static unpack spec (restored
+    from the template on resume, not serialized)."""
+
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    arena: Any = flax.struct.field(pytree_node=False, default=None)
+
+
+def params_tree(state: GPTTrainState):
+    """Unpacked nested-dict view (checkpoint IO, pretrained merging)."""
+    return arena_mod.unpack(state.arena, state.params)
+
+
+def with_params_tree(state: GPTTrainState, tree) -> GPTTrainState:
+    return state.replace(params=arena_mod.pack(state.arena, tree))
 
 
 def make_optimizer(hp: GPTTrainHP) -> optax.GradientTransformation:
     tx = scaled_adam(
         learning_rate=warmup_cosine_schedule(hp),
         b1=hp.betas[0], b2=hp.betas[1],
-        clipping_scale=hp.clipping_scale)
+        clipping_scale=hp.clipping_scale,
+        rowwise=True)
     if hp.grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=hp.grad_accum)
     return tx
@@ -83,17 +101,23 @@ def create_train_state(rng, model: Text2SemanticDecoder, hp: GPTTrainHP,
         example_batch["semantic_ids"], example_batch["semantic_ids_len"],
         example_batch["bert_feature"])
     params = variables["params"]
+    arena = arena_mod.build_arena(params, gpt_arena_label)
+    packed = arena_mod.pack(arena, params)
     return GPTTrainState(
         step=jnp.zeros((), jnp.int32),
-        params=params,
-        opt_state=make_optimizer(hp).init(params))
+        params=packed,
+        opt_state=make_optimizer(hp).init(packed),
+        arena=arena)
 
 
 def make_train_step(model: Text2SemanticDecoder, hp: GPTTrainHP) -> Callable:
     optimizer = make_optimizer(hp)
 
     def train_step(state: GPTTrainState, batch, rng):
-        def loss_fn(params):
+        def loss_fn(packed):
+            # unpack inside the differentiated fn: slices fuse into
+            # consumers and the VJP returns grads already packed
+            params = arena_mod.unpack(state.arena, packed)
             if hp.if_dpo:
                 from ..models.gpt.dpo import dpo_forward
 

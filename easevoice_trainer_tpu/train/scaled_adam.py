@@ -35,6 +35,7 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -61,7 +62,13 @@ def scaled_adam(
     scalar_max: float = 10.0,
     clipping_scale: Optional[float] = 2.0,
     clipping_update_period: int = 1000,
+    rowwise: bool = False,
 ) -> optax.GradientTransformation:
+    """``rowwise=True`` treats every leaf ``[n, *s]`` as a stack of ``n``
+    independent tensors (the parameter-arena layout, train/arena.py): all
+    per-tensor reductions (param RMS, scale grads, size update) run along
+    axes 1.. so the update on row ``i`` equals the per-leaf update on the
+    unstacked tensor — same math, ~leaf-count/78 fewer kernels."""
 
     period = clipping_update_period
     K = size_update_period
@@ -72,15 +79,33 @@ def scaled_adam(
         return jnp.asarray(learning_rate, jnp.float32)
 
     def _is_scalar(p):
+        if rowwise:
+            return p.ndim <= 1 or int(np.prod(p.shape[1:])) == 1
         return p.ndim == 0 or p.size == 1
+
+    def _raxes(p):
+        """Reduction axes: whole tensor, or per-row under the arena."""
+        return tuple(range(1, p.ndim)) if rowwise else None
+
+    def _rbcast(s, p):
+        """Broadcast a per-row scalar back over the row dims."""
+        if not rowwise:
+            return s
+        return s.reshape(s.shape + (1,) * (p.ndim - 1))
 
     def init_fn(params):
         zeros_like = lambda p: jnp.zeros_like(p, jnp.float32)
-        scalar_zero = lambda p: jnp.zeros((), jnp.float32)
-        k_zeros = lambda p: jnp.zeros((K,), jnp.float32)
-        rms_init = lambda p: (jnp.zeros((), jnp.float32) if _is_scalar(p)
-                              else jnp.sqrt(jnp.mean(
-                                  p.astype(jnp.float32) ** 2)))
+        if rowwise:
+            scalar_zero = lambda p: jnp.zeros((p.shape[0],), jnp.float32)
+            k_zeros = lambda p: jnp.zeros((p.shape[0], K), jnp.float32)
+        else:
+            scalar_zero = lambda p: jnp.zeros((), jnp.float32)
+            k_zeros = lambda p: jnp.zeros((K,), jnp.float32)
+        rms_init = lambda p: (
+            jnp.zeros((p.shape[0],) if rowwise else (), jnp.float32)
+            if _is_scalar(p)
+            else jnp.sqrt(jnp.mean(p.astype(jnp.float32) ** 2,
+                                   axis=_raxes(p))))
         return ScaledAdamState(
             count=jnp.zeros((), jnp.int32),
             exp_avg_sq=jax.tree_util.tree_map(zeros_like, params),
@@ -104,7 +129,7 @@ def scaled_adam(
                 g32 = g.astype(jnp.float32)
                 if _is_scalar(p):
                     return jnp.sum(g32 * g32)
-                return (rms ** 2) * jnp.sum(g32 * g32)
+                return jnp.sum((rms ** 2) * jnp.sum(g32 * g32, axis=_raxes(g32)))
 
             tot_sumsq = jax.tree_util.tree_reduce(
                 jnp.add, jax.tree_util.tree_map(
@@ -147,22 +172,28 @@ def scaled_adam(
 
             # size/scale bookkeeping uses the CLIPPED grad (optim.py:468-480)
             g_clip = g_raw * clip
-            sgrads = sgrads.at[step % K].set(jnp.sum(p32 * g_clip))
-            new_rms = jnp.sqrt(jnp.mean(p32 * p32))
+            dot = jnp.sum(p32 * g_clip, axis=_raxes(p32))
+            if rowwise:
+                sgrads = sgrads.at[:, step % K].set(dot)
+            else:
+                sgrads = sgrads.at[step % K].set(dot)
+            new_rms = jnp.sqrt(jnp.mean(p32 * p32, axis=_raxes(p32)))
             rms = jnp.where(is_refresh, new_rms, rms)
 
             # ---- size update (optim.py:503-558), refresh steps > 0 only --
             do_size = is_refresh & (step > 0)
             s_v_new = beta2_corr * s_v + (1.0 - beta2_corr) * jnp.mean(
-                sgrads * sgrads)
+                sgrads * sgrads, axis=-1 if rowwise else None)
             size_step = (step + 1) // K
             bc2s = 1.0 - beta2_corr ** size_step.astype(jnp.float32)
             size_lr = lr * scalar_lr_scale
-            scale_step = (-size_lr * jnp.sqrt(bc2s) * jnp.sum(sgrads)
+            scale_step = (-size_lr * jnp.sqrt(bc2s)
+                          * jnp.sum(sgrads, axis=-1 if rowwise else None)
                           / (jnp.sqrt(s_v_new) + eps))
             scale_step = jnp.where(rms < min_rms, 0.0, scale_step)
             scale_step = jnp.where(rms > max_rms, -size_lr * K, scale_step)
-            d = d + jnp.where(do_size, (1.0 - b1) * scale_step, 0.0) * p32
+            d = d + _rbcast(jnp.where(do_size, (1.0 - b1) * scale_step, 0.0),
+                            p32) * p32
             s_v = jnp.where(do_size, s_v_new, s_v)
 
             # ---- core update (optim.py:560-599) uses the RAW grad --------
@@ -170,7 +201,7 @@ def scaled_adam(
             vhat = jnp.where(bc2 < 0.99, v / bc2, v)
             denom = jnp.sqrt(vhat) + eps
             alpha = -lr * (1.0 - b1) * jnp.maximum(rms, min_rms)
-            d = d + alpha * g_raw / denom
+            d = d + _rbcast(alpha, p32) * g_raw / denom
             return p32 + d, v, d, rms, s_v, sgrads
 
         results = jax.tree_util.tree_map(

@@ -100,6 +100,48 @@ def test_arena_adamw_matches_per_leaf_bitwise():
         ref_params, got)
 
 
+def test_rowwise_scaled_adam_matches_per_leaf():
+    """scaled_adam(rowwise=True) on arena-packed params must reproduce the
+    per-leaf trajectory (reference semantics: k2 ScaledAdam,
+    optim.py:123-622) — including scalar leaves, size updates (step % K)
+    and the clipping-norm bookkeeping."""
+    from easevoice_trainer_tpu.train.scaled_adam import scaled_adam
+
+    tree = {
+        "a": {"w1": None, "w2": None, "s": None},
+        "b": {"w3": None, "emb": None},
+    }
+    rng = np.random.default_rng(7)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.3)
+    tree = {
+        "a": {"w1": mk(6, 4), "w2": mk(6, 4), "s": mk()},
+        "b": {"w3": mk(6, 4), "emb": mk(9, 3), "s2": mk()},
+    }
+    grads0 = jax.tree_util.tree_map(lambda p: mk(*p.shape), tree)
+
+    kw = dict(learning_rate=0.02, size_update_period=2,
+              clipping_scale=2.0, clipping_update_period=4)
+    ref = scaled_adam(**kw)
+    row = scaled_adam(**kw, rowwise=True)
+
+    ar = arena_mod.build_arena(tree)
+    packed = arena_mod.pack(ar, tree)
+    pgrads = arena_mod.pack(ar, grads0)
+
+    rs, ps = ref.init(tree), row.init(packed)
+    p_ref, p_row = tree, packed
+    for i in range(6):   # crosses a size-update and the first ring slots
+        u, rs = ref.update(grads0, rs, p_ref)
+        p_ref = optax.apply_updates(p_ref, u)
+        up, ps = row.update(pgrads, ps, p_row)
+        p_row = optax.apply_updates(p_row, up)
+    got = arena_mod.unpack(ar, p_row)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        p_ref, got)
+
+
 def test_state_params_tree_view():
     tree = _toy_tree()
     ar = arena_mod.build_arena(tree, sovits_step._text_lr_label)
