@@ -178,3 +178,22 @@ def test_dpo_loss_prefers_chosen():
     good = dpo_loss(jnp.array([0.0]), jnp.array([-10.0]))
     bad = dpo_loss(jnp.array([0.0]), jnp.array([10.0]))
     assert float(good) < float(bad)
+
+
+def test_decode_ar_accepts_rbg_keys(model_and_vars):
+    """The production TTS path mints rbg-impl (typed) keys off-CPU
+    (utils/rng.py fast_key); the decode while_loop must carry them.
+    rbg lowers to RngBitGenerator, which the CPU backend also supports,
+    so the typed-key plumbing is exercised here without a TPU."""
+    cfg, model, variables, batch = model_and_vars
+    x, x_lens, y, y_lens, bert = batch
+    prompts = y[:, :4]
+    params = DecodeParams(top_k=5, max_new_tokens=8, min_tokens=2)
+    key = jax.random.key(7, impl="rbg")
+    tokens, lengths = decode_ar(model, variables, key,
+                                x, x_lens, prompts, bert, params)
+    tokens = np.asarray(tokens)
+    assert tokens.shape == (2, 8)
+    for b in range(2):
+        assert (tokens[b, np.asarray(lengths)[b]:] == cfg.eos_id).all() \
+            or np.asarray(lengths)[b] == 8
