@@ -43,7 +43,7 @@ class FeatureExtractor(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, lengths=None):
         # x: (B, samples) -> (B, frames, conv_dim[-1])
         h = x[..., None]
         for i, (dim, k, s) in enumerate(zip(self.cfg.conv_dim,
@@ -53,10 +53,47 @@ class FeatureExtractor(nn.Module):
                         use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"conv_{i}")(h)
             if i == 0:
-                h = nn.GroupNorm(num_groups=dim, epsilon=self.cfg.layer_norm_eps,
-                                 param_dtype=jnp.float32, name="group_norm")(h)
+                # hubert-base group-norms each channel over the TIME axis —
+                # stats are length-dependent, so padded inference must
+                # restrict them to the valid frames or every output frame
+                # shifts (the HF "group-norm models don't support
+                # attention_mask" wart).  Same params as nn.GroupNorm.
+                valid = None
+                if lengths is not None:
+                    t1 = (lengths - k) // s + 1
+                    valid = (jnp.arange(h.shape[1])[None, :]
+                             < t1[:, None]).astype(jnp.float32)
+                h = _TimePerChannelNorm(
+                    epsilon=self.cfg.layer_norm_eps,
+                    name="group_norm")(h, valid)
             h = jax.nn.gelu(h, approximate=False)
         return h
+
+
+class _TimePerChannelNorm(nn.Module):
+    """GroupNorm(num_groups=C) on (B, T, C) — per-channel stats over time —
+    with an optional validity mask so padded frames don't move the stats.
+    Parameter layout matches flax ``nn.GroupNorm`` (scale/bias of (C,))."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, h, valid=None):
+        c = h.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        h32 = h.astype(jnp.float32)
+        if valid is None:
+            mean = jnp.mean(h32, axis=1, keepdims=True)
+            var = jnp.mean(jnp.square(h32 - mean), axis=1, keepdims=True)
+        else:
+            v = valid[..., None]
+            cnt = jnp.maximum(jnp.sum(v, axis=1, keepdims=True), 1.0)
+            mean = jnp.sum(h32 * v, axis=1, keepdims=True) / cnt
+            var = jnp.sum(jnp.square(h32 - mean) * v, axis=1,
+                          keepdims=True) / cnt
+        out = (h32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (out * scale + bias).astype(h.dtype)
 
 
 class PositionalConvEmbedding(nn.Module):
@@ -110,6 +147,19 @@ class HubertLayer(nn.Module):
                             name="norm2")(x + y)
 
 
+def feat_output_lengths(lengths, cfg: "HubertConfig" = None):
+    """Exact frame count out of the conv frontend for given sample counts —
+    HF `_get_feat_extract_output_lengths` semantics: successive
+    floor((L - kernel)/stride) + 1.  (A flat ``//320`` over-counts by one
+    near bucket boundaries, which would let a garbage pad frame into the
+    attention mask.)"""
+    cfg = cfg or HubertConfig()
+    out = lengths
+    for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+        out = (out - k) // s + 1
+    return out
+
+
 class CNHubert(nn.Module):
     cfg: HubertConfig = HubertConfig()
     dtype: Optional[jnp.dtype] = None
@@ -119,15 +169,14 @@ class CNHubert(nn.Module):
         """wav: (B, samples) normalized 16 kHz -> (B, frames, 768)."""
         c = self.cfg
         feats = FeatureExtractor(c, dtype=self.dtype,
-                                 name="feature_extractor")(wav)
+                                 name="feature_extractor")(wav, lengths)
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, param_dtype=jnp.float32,
                          name="fp_norm")(feats)
         h = nn.Dense(c.hidden_size, dtype=self.dtype, param_dtype=jnp.float32,
                      name="fp_proj")(h)
         pad_bias = None
         if lengths is not None:
-            # conv stack downsamples by 320 overall
-            frame_lens = lengths // 320
+            frame_lens = feat_output_lengths(lengths, c)
             valid = (jnp.arange(h.shape[1])[None, :]
                      < frame_lens[:, None])
             pad_bias = jnp.where(valid, 0.0, -jnp.inf)[:, None, None, :]

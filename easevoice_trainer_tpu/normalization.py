@@ -164,7 +164,20 @@ class Normalize:
         audio_b = (audio / peak * (self.MAXX * self.ALPHA * 1145.14)
                    + (1 - self.ALPHA) * 1145.14 * audio)
         wav16 = audio_io.resample(audio_b.astype(np.float32), 32000, 16000)
-        ssl = np.asarray(apply(params, wav16[None, :]))   # (1, T, 768)
+        # Pad to a 0.5 s bucket so XLA compiles once per bucket instead of
+        # once per distinct clip length (each compile is ~30 s on a TPU).
+        # CNHubert masks padded frames out of attention and zeroes their
+        # inputs, so valid frames are bit-identical to the unpadded run.
+        from .models.cnhubert import feat_output_lengths
+
+        true_len = wav16.shape[0]
+        bucket = max(8000, -(-true_len // 8000) * 8000)
+        padded = np.zeros((bucket,), np.float32)
+        padded[:true_len] = wav16
+        ssl = np.asarray(apply(params, padded[None, :],
+                               np.asarray([true_len], np.int32)))
+        frames = int(feat_output_lengths(np.asarray(true_len)))
+        ssl = ssl[:, :frames, :]                          # (1, T, 768)
         if np.isnan(ssl).any():
             return False
         audio_io.write_wav(os.path.join(self.wav_dir, name),
@@ -205,7 +218,15 @@ class Normalize:
             ssl = torch.load(hubert_path, map_location="cpu",
                              weights_only=False)
             ssl = ssl.to(torch.float32).numpy().transpose(0, 2, 1)  # (1,T,768)
-            codes = np.asarray(apply(tree, ssl))[0]
+            # bucket the time axis (ssl_proj is a VALID k=2 s=2 conv and the
+            # quantizer is per-frame, so codes for real frames are exact;
+            # the padded tail is sliced off)
+            t = ssl.shape[1]
+            bucket = max(32, -(-t // 32) * 32)
+            if bucket != t:
+                ssl = np.pad(ssl, ((0, 0), (0, bucket - t), (0, 0)))
+            n_codes = t // 2 if cfg.semantic_frame_rate == "25hz" else t
+            codes = np.asarray(apply(tree, ssl))[0][:n_codes]
             rows.append("%s\t%s" % (name, " ".join(str(int(i))
                                                    for i in codes)))
         with open(self.semantic_output_path, "w", encoding="utf8") as f:

@@ -54,3 +54,42 @@ def shard_batch(batch, mesh: Mesh):
 def local_batch_multiple(mesh: Mesh) -> int:
     """Global batch sizes must be a multiple of this (the data-axis size)."""
     return mesh.shape[DATA_AXIS]
+
+
+def wrap_pad_indices(idxs: Sequence[int], multiple: int) -> list:
+    """Pad a batch's example indices to a multiple by wrapping.
+
+    The reference's DistributedBucketSampler does exactly this to even out
+    DDP batches (data_utils.py:229-324): repeated samples, not dropped
+    ones, so every clip trains every epoch."""
+    idxs = list(idxs)
+    if multiple <= 1 or len(idxs) % multiple == 0:
+        return idxs
+    need = (-len(idxs)) % multiple
+    return idxs + [idxs[i % len(idxs)] for i in range(need)]
+
+
+def data_parallel_mesh(env_flag: str = "EASEVOICE_DP") -> Optional[Mesh]:
+    """The production trainers' data-parallel mesh, or None for 1-chip.
+
+    ``EASEVOICE_DP=auto`` (default): all visible accelerator devices;
+    single-device and CPU backends stay unsharded so tests and dev boxes
+    keep their fast path.  ``EASEVOICE_DP=N`` forces an N-way data mesh
+    (works on the CPU host platform too — used by the multi-device
+    trainer test).  ``EASEVOICE_DP=off`` disables.
+    """
+    import os
+
+    val = os.environ.get(env_flag, "auto").strip().lower()
+    if val in ("off", "none", "0", "1"):
+        return None
+    devices = jax.devices()
+    if val == "auto":
+        if len(devices) < 2 or devices[0].platform == "cpu":
+            return None
+        n = len(devices)
+    else:
+        n = min(int(val), len(devices))
+        if n < 2:
+            return None
+    return make_mesh(n_data=n, devices=devices[:n])

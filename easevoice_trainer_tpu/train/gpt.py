@@ -183,7 +183,16 @@ class GPTTrain:
             logger.info("loaded pretrained GPT %s (%d unmatched)",
                         self.pretrained, len(unmatched))
 
-        state = jax.device_put(state, jax.devices()[0])
+        # data-parallel over every visible chip (EASEVOICE_DP=auto|off|N)
+        from .. import parallel
+
+        mesh = parallel.data_parallel_mesh()
+        if mesh is not None:
+            logger.info("data-parallel over %d devices",
+                        parallel.local_batch_multiple(mesh))
+            state = jax.device_put(state, parallel.replicated_sharding(mesh))
+        else:
+            state = jax.device_put(state, jax.devices()[0])
         step_fn = jax.jit(gpt_step.make_train_step(model, self.hp),
                           donate_argnums=(0,))
         writer = _tb_writer(os.path.join(paths.tb_log_dir(), self.name))
@@ -192,6 +201,9 @@ class GPTTrain:
 
         for epoch in range(start_epoch, self.epochs + 1):
             for bucket_id, idxs in batcher.epoch_batches(epoch):
+                if mesh is not None:
+                    idxs = parallel.wrap_pad_indices(
+                        idxs, parallel.local_batch_multiple(mesh))
                 batch = data_mod.collate_gpt(
                     [dataset.load_item(i) for i in idxs], max_ph,
                     _round_up(batcher.padded_frames(bucket_id), 2))
@@ -204,6 +216,8 @@ class GPTTrain:
                         max_len=batch["semantic_ids"].shape[1])
                     batch["reject_semantic_ids"] = rej
                     batch["reject_semantic_ids_len"] = rej_lens
+                if mesh is not None:
+                    batch = parallel.shard_batch(batch, mesh)
                 rng = jax.random.fold_in(rng_mod.fast_key(self.seed),
                                          global_step)
                 state, metrics = step_fn(state, batch, rng)

@@ -213,7 +213,18 @@ class SovitsTrain:
         state, start_epoch = self._try_resume(state)
         if start_epoch == 1:
             state = self._load_pretrained(state)
-        state = jax.device_put(state, jax.devices()[0])
+
+        # data-parallel over every visible chip (EASEVOICE_DP=auto|off|N);
+        # XLA inserts the gradient psum from the shardings — no DDP code
+        from .. import parallel
+
+        mesh = parallel.data_parallel_mesh()
+        if mesh is not None:
+            logger.info("data-parallel over %d devices",
+                        parallel.local_batch_multiple(mesh))
+            state = jax.device_put(state, parallel.replicated_sharding(mesh))
+        else:
+            state = jax.device_put(state, jax.devices()[0])
 
         step_fn = jax.jit(sovits_step.make_train_step(
             synth, disc, self.hp, self.mel_cfg,
@@ -225,10 +236,15 @@ class SovitsTrain:
 
         for epoch in range(start_epoch, self.epochs + 1):
             for bucket_id, idxs in batcher.epoch_batches(epoch):
+                if mesh is not None:
+                    idxs = parallel.wrap_pad_indices(
+                        idxs, parallel.local_batch_multiple(mesh))
                 batch = data_mod.collate_s2(
                     [dataset.load_item(i) for i in idxs],
                     batcher.padded_frames(bucket_id), text_cap,
                     hop=self.mel_cfg.hop_length)
+                if mesh is not None:
+                    batch = parallel.shard_batch(batch, mesh)
                 rng = jax.random.fold_in(
                     rng_mod.fast_key(self.seed), global_step)
                 state, metrics = step_fn(state, batch, rng)

@@ -74,3 +74,60 @@ def test_bert_matches_hf(tmp_path, rng):
     ref_h = ref.hidden_states[-3].numpy()
     np.testing.assert_allclose(np.asarray(hidden[-3]), ref_h,
                                atol=2e-4, rtol=2e-4)
+
+
+def test_hubert_bucketed_padding_is_exact(rng):
+    """The normalize pipeline pads clips to 0.5 s buckets and passes
+    ``lengths`` so XLA compiles once per bucket (normalization.py ssl
+    stage); masked padding must leave the valid frames bit-identical."""
+    from easevoice_trainer_tpu.models.cnhubert import CNHubert, HubertConfig
+
+    cfg = HubertConfig(hidden_size=32, num_layers=2, num_heads=4,
+                       intermediate_size=64)
+    model = CNHubert(cfg)
+    wav = rng.normal(size=(1, 5120)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jax.numpy.asarray(wav))
+
+    direct = np.asarray(model.apply(params, wav))
+    padded = np.zeros((1, 8000), np.float32)
+    padded[:, :5120] = wav
+    bucketed = np.asarray(model.apply(
+        params, padded, jax.numpy.asarray([5120], jax.numpy.int32)))
+    frames = direct.shape[1]
+    np.testing.assert_allclose(bucketed[:, :frames], direct,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_extract_latent_bucketed_padding_is_exact(rng):
+    """Token stage pads the ssl time axis to a 32-frame bucket; the VALID
+    k=2 s=2 ssl_proj + per-frame quantizer must give identical codes for
+    the real frames (normalization.py token stage)."""
+    from easevoice_trainer_tpu.models.sovits import SynthesizerTrn, SovitsConfig
+
+    cfg = SovitsConfig(
+        spec_channels=129, segment_size=2560, inter_channels=32,
+        hidden_channels=32, filter_channels=64, n_heads=2, n_layers=2,
+        upsample_initial_channel=32, gin_channels=32, ssl_dim=64,
+        n_symbols=50)
+    model = SynthesizerTrn(cfg)
+    ssl = rng.normal(size=(1, 50, cfg.ssl_dim)).astype(np.float32)
+    B, frames = 1, 16
+    key = jax.random.PRNGKey(0)
+    wav = rng.uniform(-0.5, 0.5, (B, frames * 640)).astype(np.float32)
+    from easevoice_trainer_tpu.train.data import spectrogram_np
+    spec = np.stack([spectrogram_np(w, 2048, 640, 2048) for w in wav])[..., :cfg.spec_channels]
+    # init via eval_shape-free full init on tiny shapes
+    variables = model.init(
+        {"params": key, "slice": key, "latent": key, "dropout": key},
+        np.zeros((B, 16, cfg.ssl_dim), np.float32), spec.astype(np.float32),
+        np.full((B,), frames, np.int32),
+        np.zeros((B, 8), np.int32), np.full((B,), 8, np.int32))
+
+    direct = np.asarray(model.apply(
+        {"params": variables["params"]}, ssl,
+        method=SynthesizerTrn.extract_latent))
+    padded = np.pad(ssl, ((0, 0), (0, 64 - 50), (0, 0)))
+    bucketed = np.asarray(model.apply(
+        {"params": variables["params"]}, padded,
+        method=SynthesizerTrn.extract_latent))
+    np.testing.assert_array_equal(bucketed[:, : direct.shape[1]], direct)

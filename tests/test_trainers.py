@@ -133,3 +133,38 @@ def test_gpt_trainer_end_to_end(workspace, capsys):
     assert all(k.startswith("model.") for k in obj["weight"])
     out = capsys.readouterr().out
     assert "loss-of-easevoice" in out
+
+
+def test_sovits_trainer_data_parallel(workspace, capsys, monkeypatch):
+    """The production driver shards batches over a data mesh when
+    EASEVOICE_DP requests one (auto-on for multi-chip TPU; forced to a 2-way
+    mesh over the virtual CPU devices here, which keeps the per-step
+    cost equal to the single-device e2e test).  Ragged bucket batches are wrap-padded
+    like the reference's DistributedBucketSampler."""
+    norm, project = workspace
+    monkeypatch.setenv("EASEVOICE_DP", "2")
+    from easevoice_trainer_tpu.train.sovits import SovitsTrain, SovitsTrainParams
+
+    params = SovitsTrainParams(
+        batch_size=2, total_epochs=1, save_every_epoch=1,
+        train_input_dir=norm, output_model_name="tinydp",
+        project_dir=project)
+    resp = SovitsTrain(params).train()
+    assert resp.ok, resp.message
+    assert os.path.exists(resp.data["model_path"])
+    out = capsys.readouterr().out
+    assert "loss-of-easevoice" in out
+
+
+def test_gpt_trainer_data_parallel(workspace, capsys, monkeypatch):
+    norm, project = workspace
+    monkeypatch.setenv("EASEVOICE_DP", "2")
+    from easevoice_trainer_tpu.train.gpt import GPTTrain, GPTTrainParams
+
+    params = GPTTrainParams(
+        batch_size=2, total_epochs=1, save_every_epoch=1, model_path="/none",
+        train_input_dir=norm, output_model_name="tinygptdp",
+        project_dir=project)
+    resp = GPTTrain(params).train()
+    assert resp.ok, resp.message
+    assert resp.data["model_path"].endswith("tinygptdp-e1.ckpt")
