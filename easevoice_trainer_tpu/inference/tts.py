@@ -230,12 +230,27 @@ class TTS:
         wav32k = np.concatenate(
             [wav32k, np.zeros(int(self.cfg.sampling_rate * 0.3), np.float32)])
         wav16k = audio_io.resample(wav32k, self.cfg.sampling_rate, 16000)
+        # pad to a 0.5 s bucket + masked hubert (bit-identical on real
+        # frames) so switching reference audio doesn't recompile for every
+        # distinct clip length (~30 s per compile on TPU)
+        from ..models.cnhubert import feat_output_lengths
+
+        true_len = wav16k.shape[0]
+        bucket = max(8000, -(-true_len // 8000) * 8000)
+        padded = np.zeros((bucket,), np.float32)
+        padded[:true_len] = wav16k
         ssl = self.cnhubert.apply(
-            self.cnhubert_params, wav16k[None, :])         # (1, T50, 768)
+            self.cnhubert_params, padded[None, :],
+            np.asarray([true_len], np.int32))              # (1, T50, 768)
+        frames = int(feat_output_lengths(np.asarray(true_len)))
+        ssl = np.asarray(ssl)[:, :frames, :]
+        t25 = frames // 2
+        pad_t = -(-ssl.shape[1] // 32) * 32
+        ssl_p = np.pad(ssl, ((0, 0), (0, pad_t - ssl.shape[1]), (0, 0)))
         codes = self.vits.apply(
-            {"params": self.vits_params}, np.asarray(ssl),
+            {"params": self.vits_params}, ssl_p,
             method=SynthesizerTrn.extract_latent)          # (1, T25)
-        return np.asarray(codes)[0]
+        return np.asarray(codes)[0][:t25]
 
     # ---- batching -------------------------------------------------------------
 
