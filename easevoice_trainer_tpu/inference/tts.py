@@ -239,7 +239,16 @@ class TTS:
         bucket = max(8000, -(-true_len // 8000) * 8000)
         padded = np.zeros((bucket,), np.float32)
         padded[:true_len] = wav16k
-        ssl = self.cnhubert.apply(
+        jit_key = (id(self.cnhubert), id(self.vits))
+        if getattr(self, "_jit_for", None) != jit_key:
+            import jax
+
+            self._hubert_jit = jax.jit(self.cnhubert.apply)
+            self._latent_jit = jax.jit(
+                lambda p, s: self.vits.apply(
+                    {"params": p}, s, method=SynthesizerTrn.extract_latent))
+            self._jit_for = jit_key
+        ssl = self._hubert_jit(
             self.cnhubert_params, padded[None, :],
             np.asarray([true_len], np.int32))              # (1, T50, 768)
         frames = int(feat_output_lengths(np.asarray(true_len)))
@@ -247,9 +256,7 @@ class TTS:
         t25 = frames // 2
         pad_t = -(-ssl.shape[1] // 32) * 32
         ssl_p = np.pad(ssl, ((0, 0), (0, pad_t - ssl.shape[1]), (0, 0)))
-        codes = self.vits.apply(
-            {"params": self.vits_params}, ssl_p,
-            method=SynthesizerTrn.extract_latent)          # (1, T25)
+        codes = self._latent_jit(self.vits_params, ssl_p)   # (1, T25)
         return np.asarray(codes)[0][:t25]
 
     # ---- batching -------------------------------------------------------------

@@ -46,6 +46,7 @@ class GlobalCFG:
         if self.platform == "cpu":
             # bf16 matmuls on CPU are emulated and slow; keep fp32 there.
             self.is_half = False
+        self._enable_compile_cache()
 
         pretrained = paths.pretrained_root()
         self.gpt_path: str = os.environ.get(
@@ -61,6 +62,33 @@ class GlobalCFG:
             "sovits_path",
             os.path.join(pretrained, "gsv-v2final-pretrained", "s2G2333k.pth"),
         )
+
+    @staticmethod
+    def _enable_compile_cache() -> None:
+        """Persistent XLA compilation cache shared across processes.
+
+        Every train run is its own subprocess (service/session.py spawns
+        cmd entrypoints), and a cold TPU compile of the s2/s1 step is
+        minutes — without this cache each run pays it again.  Off-CPU
+        only (CPU compiles are cheap and tests churn tiny shapes).
+        Disable with EASEVOICE_COMPILE_CACHE=off or point it elsewhere
+        with EASEVOICE_COMPILE_CACHE=/path.
+        """
+        val = os.environ.get("EASEVOICE_COMPILE_CACHE", "").strip()
+        if val.lower() in ("off", "none", "0"):
+            return
+        try:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                return
+            cache_dir = val or os.path.join(paths.get_base_path(),
+                                            "jax_compile_cache")
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        except Exception:       # pragma: no cover - cache is best-effort
+            pass
 
     @staticmethod
     def _detect_platform() -> str:
