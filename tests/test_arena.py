@@ -159,3 +159,37 @@ def test_state_params_tree_view():
     view2 = sovits_step.params_tree(state2, "g")
     np.testing.assert_allclose(
         np.asarray(view2["dec"]["scalar"]), np.asarray(tree["dec"]["scalar"]) + 1.0)
+
+
+def test_packed_state_serialization_roundtrip():
+    """Resume checkpoints serialize the packed state with flax msgpack and
+    restore against a template (train/sovits.py _save_resume/_try_resume);
+    static arena fields must survive via the template, data fields via the
+    blob."""
+    import flax.serialization
+
+    tree = _toy_tree()
+    ar = arena_mod.build_arena(tree, sovits_step._text_lr_label)
+    packed = arena_mod.pack(ar, tree)
+    state = sovits_step.S2TrainState(
+        step=jnp.asarray(7, jnp.int32),
+        params_g=packed, params_d=packed,
+        opt_g={"m": packed}, opt_d=None,
+        arena_g=ar, arena_d=ar)
+    blob = flax.serialization.to_bytes(state)
+
+    fresh_tree = jax.tree_util.tree_map(jnp.zeros_like, tree)
+    template = sovits_step.S2TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_g=arena_mod.pack(ar, fresh_tree),
+        params_d=arena_mod.pack(ar, fresh_tree),
+        opt_g={"m": arena_mod.pack(ar, fresh_tree)}, opt_d=None,
+        arena_g=ar, arena_d=ar)
+    restored = flax.serialization.from_bytes(template, blob)
+    assert int(restored.step) == 7
+    assert restored.arena_g is ar
+    got = sovits_step.params_tree(restored, "g")
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        tree, got)
