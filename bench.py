@@ -76,9 +76,10 @@ _PEAKS = {
 def main():
     import jax
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-    n_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    batch_size = int(pos[0]) if len(pos) > 0 else 8
+    frames = int(pos[1]) if len(pos) > 1 else 256
+    n_steps = int(pos[2]) if len(pos) > 2 else 10
 
     state, batch, step = build(batch_size, frames)
 

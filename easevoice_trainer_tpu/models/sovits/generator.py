@@ -24,6 +24,7 @@ class ResBlock1(nn.Module):
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3, 5)
     dtype: Optional[jnp.dtype] = None
+    fold: int = 1   # space-to-depth factor for small-channel stages
 
     @nn.compact
     def __call__(self, x, x_mask=None):
@@ -32,12 +33,14 @@ class ResBlock1(nn.Module):
             if x_mask is not None:
                 xt = xt * x_mask
             xt = WNConv1d(self.channels, self.channels, self.kernel_size,
-                          dilation=d, name=f"conv1_{j}", dtype=self.dtype)(xt)
+                          dilation=d, name=f"conv1_{j}", dtype=self.dtype,
+                          fold=self.fold)(xt)
             xt = leaky_relu(xt)
             if x_mask is not None:
                 xt = xt * x_mask
             xt = WNConv1d(self.channels, self.channels, self.kernel_size,
-                          dilation=1, name=f"conv2_{j}", dtype=self.dtype)(xt)
+                          dilation=1, name=f"conv2_{j}", dtype=self.dtype,
+                          fold=self.fold)(xt)
             x = x + xt
         if x_mask is not None:
             x = x * x_mask
@@ -49,6 +52,7 @@ class ResBlock2(nn.Module):
     kernel_size: int = 3
     dilations: Tuple[int, ...] = (1, 3)
     dtype: Optional[jnp.dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x, x_mask=None):
@@ -57,7 +61,8 @@ class ResBlock2(nn.Module):
             if x_mask is not None:
                 xt = xt * x_mask
             xt = WNConv1d(self.channels, self.channels, self.kernel_size,
-                          dilation=d, name=f"conv_{j}", dtype=self.dtype)(xt)
+                          dilation=d, name=f"conv_{j}", dtype=self.dtype,
+                          fold=self.fold)(xt)
             x = x + xt
         if x_mask is not None:
             x = x * x_mask
@@ -102,11 +107,13 @@ class Generator(nn.Module):
             x = WNConvTranspose1d(ch, ch_out, k, u, padding=(k - u) // 2,
                                   name=f"up_{i}", dtype=dtype)(x)
             ch = ch_out
+            # fold small-channel stages so lanes are 128-dense (see WNConv1d)
+            fold = max(1, min(8, 128 // ch)) if ch < 128 else 1
             xs = None
             for j, (rk, rd) in enumerate(zip(self.resblock_kernel_sizes,
                                              self.resblock_dilation_sizes)):
                 y = block(ch, rk, tuple(rd), name=f"resblock_{i}_{j}",
-                          dtype=dtype)(x)
+                          dtype=dtype, fold=fold)(x)
                 xs = y if xs is None else xs + y
             x = xs / num_kernels
 

@@ -105,8 +105,48 @@ class _WeightNormKernel(nn.Module):
         return v * scale
 
 
+_FOLD_SELECTORS: dict = {}
+
+
+def _fold_selector(k: int, d: int, p: int, f: int):
+    """Static 0/1 selection tensor mapping a (k, C, C) dilated-conv kernel
+    into its space-to-depth block equivalent.
+
+    For time-fold factor ``f`` (x' [B,T/f,f*C] with x'[t', r*C+c] =
+    x[t'*f+r, c]), the original conv y[t] = sum_tau w[tau] x[t+tau*d-p]
+    becomes a stride-1 undilated conv over x' whose kernel
+    W'[q, r*C+ci, s*C+co] = w[tau, ci, co] whenever
+    s + tau*d - p == (q + q_min)*f + r.  Returns (M, q_min, K') with
+    M[tau, q, r, s] in {0,1}.
+    """
+    key = (k, d, p, f)
+    hit = _FOLD_SELECTORS.get(key)
+    if hit is not None:
+        return hit
+    offs = [(s, t, s + t * d - p) for s in range(f) for t in range(k)]
+    q_min = min(o // f for _, _, o in offs)
+    q_max = max(o // f for _, _, o in offs)
+    kp = q_max - q_min + 1
+    m = np.zeros((k, kp, f, f), np.float32)
+    for s, t, o in offs:
+        m[t, o // f - q_min, o % f, s] = 1.0
+    out = (m, q_min, kp)
+    _FOLD_SELECTORS[key] = out
+    return out
+
+
 class WNConv1d(nn.Module):
-    """Weight-normalized Conv1d (reference: torch.nn.utils.weight_norm)."""
+    """Weight-normalized Conv1d (reference: torch.nn.utils.weight_norm).
+
+    ``fold`` > 1 runs the conv space-to-depth folded: time is folded into
+    channels by ``fold`` so the lane dimension is ``fold*C`` wide.  The
+    small-channel HiFi-GAN stages (C=16..64) otherwise use 12-50 % of the
+    TPU's 128 lanes — folding makes them dense at the cost of zero-padded
+    block-kernel FLOPs (a large net win; see docs/PERF.md).  The folded
+    kernel is built from the same (g, v) params by a static selection
+    einsum, so checkpoints, gradients and numerics (up to matmul
+    reassociation) are unchanged.
+    """
 
     in_features: int
     features: int
@@ -117,6 +157,7 @@ class WNConv1d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -128,15 +169,35 @@ class WNConv1d(nn.Module):
         pad = self.padding
         if pad is None:
             pad = (self.kernel_size * self.dilation - self.dilation) // 2
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel,
-            window_strides=(self.stride,),
-            padding=[(pad, pad)],
-            rhs_dilation=(self.dilation,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=self.groups,
-        )
+
+        f = self.fold
+        if (f > 1 and self.groups == 1 and self.stride == 1
+                and self.in_features == self.features
+                and x.shape[1] % f == 0):
+            b, t, c = x.shape
+            m, q_min, kp = _fold_selector(self.kernel_size, self.dilation,
+                                          pad, f)
+            wf = jnp.einsum("tio,tqrs->qriso", kernel,
+                            jnp.asarray(m, kernel.dtype))
+            wf = wf.reshape(kp, f * c, f * self.features)
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype).reshape(b, t // f, f * c),
+                wf,
+                window_strides=(1,),
+                padding=[(-q_min, kp - 1 + q_min)],
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
+            y = y.reshape(b, t, self.features)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel,
+                window_strides=(self.stride,),
+                padding=[(pad, pad)],
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=self.groups,
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(dtype)

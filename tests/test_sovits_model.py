@@ -126,3 +126,23 @@ def test_discriminator_and_losses(setup):
     g_adv, _ = losses.generator_adv_loss(y_d_gs)
     fm = losses.feature_matching_loss(fmap_rs, fmap_gs)
     assert np.isfinite(float(d_loss)) and np.isfinite(float(g_adv)) and np.isfinite(float(fm))
+
+
+def test_folded_conv_matches_direct():
+    """WNConv1d(fold=f) — the space-to-depth lowering for small-channel
+    HiFi-GAN stages — must match the direct dilated conv to float noise
+    for every (C, f, kernel, dilation) the generator uses."""
+    import jax
+    import jax.numpy as jnp
+    from easevoice_trainer_tpu.nn.layers import WNConv1d
+
+    r = np.random.default_rng(0)
+    for C, f in ((16, 8), (32, 4), (64, 2)):
+        for k, d in ((3, 1), (7, 3), (11, 5)):
+            x = jnp.asarray(r.normal(size=(2, 48, C)).astype(np.float32))
+            m0 = WNConv1d(C, C, k, dilation=d)
+            m1 = WNConv1d(C, C, k, dilation=d, fold=f)
+            p = m0.init(jax.random.PRNGKey(1), x)
+            np.testing.assert_allclose(
+                np.asarray(m0.apply(p, x)), np.asarray(m1.apply(p, x)),
+                rtol=1e-5, atol=1e-5)
