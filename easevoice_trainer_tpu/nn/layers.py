@@ -108,28 +108,31 @@ class _WeightNormKernel(nn.Module):
 _FOLD_SELECTORS: dict = {}
 
 
-def _fold_selector(k: int, d: int, p: int, f: int):
-    """Static 0/1 selection tensor mapping a (k, C, C) dilated-conv kernel
-    into its space-to-depth block equivalent.
+def _fold_selector(k: int, d: int, p: int, f: int, stride: int = 1):
+    """Static 0/1 selection tensor mapping a (k, Cin, Cout) dilated
+    strided conv kernel into its space-to-depth block equivalent.
 
-    For time-fold factor ``f`` (x' [B,T/f,f*C] with x'[t', r*C+c] =
-    x[t'*f+r, c]), the original conv y[t] = sum_tau w[tau] x[t+tau*d-p]
-    becomes a stride-1 undilated conv over x' whose kernel
-    W'[q, r*C+ci, s*C+co] = w[tau, ci, co] whenever
-    s + tau*d - p == (q + q_min)*f + r.  Returns (M, q_min, K') with
-    M[tau, q, r, s] in {0,1}.
+    Output time is folded by ``f`` and input time by ``f*stride`` so the
+    folded conv is stride-1: with x'[t', r*Cin+ci] = x[t'*f*stride+r, ci]
+    and y'[t', s*Cout+co] = y[t'*f+s, co], the original
+    y[t] = sum_tau w[tau] x[t*stride + tau*d - p] becomes a conv whose
+    kernel W'[q, r*Cin+ci, s*Cout+co] = w[tau, ci, co] whenever
+    s*stride + tau*d - p == (q + q_min)*f*stride + r.  Returns
+    (M[k, K', f*stride, f], q_min, K').
     """
-    key = (k, d, p, f)
+    key = (k, d, p, f, stride)
     hit = _FOLD_SELECTORS.get(key)
     if hit is not None:
         return hit
-    offs = [(s, t, s + t * d - p) for s in range(f) for t in range(k)]
-    q_min = min(o // f for _, _, o in offs)
-    q_max = max(o // f for _, _, o in offs)
+    fin = f * stride
+    offs = [(s, t, s * stride + t * d - p) for s in range(f)
+            for t in range(k)]
+    q_min = min(o // fin for _, _, o in offs)
+    q_max = max(o // fin for _, _, o in offs)
     kp = q_max - q_min + 1
-    m = np.zeros((k, kp, f, f), np.float32)
+    m = np.zeros((k, kp, fin, f), np.float32)
     for s, t, o in offs:
-        m[t, o // f - q_min, o % f, s] = 1.0
+        m[t, o // fin - q_min, o % fin, s] = 1.0
     out = (m, q_min, kp)
     _FOLD_SELECTORS[key] = out
     return out
@@ -171,23 +174,31 @@ class WNConv1d(nn.Module):
             pad = (self.kernel_size * self.dilation - self.dilation) // 2
 
         f = self.fold
-        if (f > 1 and self.groups == 1 and self.stride == 1
-                and self.in_features == self.features
-                and x.shape[1] % f == 0):
+        t_out = (x.shape[1] + 2 * pad
+                 - (self.kernel_size - 1) * self.dilation - 1) // self.stride + 1
+        if f > 1 and self.groups == 1:
             b, t, c = x.shape
+            fin = f * self.stride
+            # right-pad to a whole number of folded blocks; the extra
+            # zeros sit at/beyond the conv's own zero padding, so slicing
+            # the output back to t_out is exact
+            t_pad = (-t) % fin
+            xin = x if t_pad == 0 else jnp.pad(
+                x, ((0, 0), (0, t_pad), (0, 0)))
             m, q_min, kp = _fold_selector(self.kernel_size, self.dilation,
-                                          pad, f)
+                                          pad, f, self.stride)
             wf = jnp.einsum("tio,tqrs->qriso", kernel,
                             jnp.asarray(m, kernel.dtype))
-            wf = wf.reshape(kp, f * c, f * self.features)
+            wf = wf.reshape(kp, fin * c, f * self.features)
             y = jax.lax.conv_general_dilated(
-                x.astype(dtype).reshape(b, t // f, f * c),
+                xin.astype(dtype).reshape(b, (t + t_pad) // fin, fin * c),
                 wf,
                 window_strides=(1,),
                 padding=[(-q_min, kp - 1 + q_min)],
                 dimension_numbers=("NHC", "HIO", "NHC"),
             )
-            y = y.reshape(b, t, self.features)
+            y = y.reshape(b, (t + t_pad) // self.stride,
+                          self.features)[:, :t_out]
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(dtype),

@@ -146,3 +146,19 @@ def test_folded_conv_matches_direct():
             np.testing.assert_allclose(
                 np.asarray(m0.apply(p, x)), np.asarray(m1.apply(p, x)),
                 rtol=1e-5, atol=1e-5)
+    # general form: strided, Cin != Cout, non-divisible length (pad+slice)
+    for cin, cout, k, d, s_, pd, f, T in (
+            (1, 32, 5, 1, 3, 2, 4, 99),
+            (32, 128, 5, 1, 3, 2, 4, 97),
+            (16, 16, 3, 5, 1, None, 8, 50)):
+        x = jnp.asarray(r.normal(size=(2, T, cin)).astype(np.float32))
+        kw = dict(kernel_size=k, dilation=d, stride=s_)
+        if pd is not None:
+            kw["padding"] = pd
+        m0 = WNConv1d(cin, cout, **kw)
+        m1 = WNConv1d(cin, cout, **kw, fold=f)
+        p = m0.init(jax.random.PRNGKey(1), x)
+        y0, y1 = m0.apply(p, x), m1.apply(p, x)
+        assert y0.shape == y1.shape
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                   rtol=1e-5, atol=1e-5)
