@@ -24,8 +24,11 @@ from .segmentation import SPLITS, get_split_method
 # simplifications that differ from both zh-simplified and traditional,
 # plus kokuji (Japan-made chars).  Any of these marks a Han run as ja.
 _JA_ONLY_HAN = set(
+    # shinjitai forms + kokuji that do not occur in ordinary Chinese text.
+    # Characters with real (if rare) zh usage are deliberately excluded:
+    # 箇 (trad. 個 variant), 弁, 丼 (zh menu loan), 竜, 畑-adjacent forms.
     "駅円絵売読続転図広営桜気沢労伝実剣済単拝仏変挙釈録焼縄験騒辺塀斉渋"
-    "竜弐壱箇斎畳弁丼働峠辻畑込匂凪榊躾雫栃枠凧凩鰯匁麿笹"
+    "弐壱斎畳働峠辻込匂凪榊躾雫栃枠凧凩鰯匁麿笹"
 )
 
 

@@ -55,9 +55,12 @@ class InferenceTaskData:
     batch_size: int = 1
     batch_threshold: float = 0.75
     split_bucket: bool = True
+    return_fragment: bool = False
     speed_factor: float = 1.0
     fragment_interval: float = 0.3
     seed: int = -1
+    keep_random: bool = True
+    ref_text_free: bool = False
     parallel_infer: bool = True
     repetition_penalty: float = 1.35
     sovits_path: str = ""
@@ -251,9 +254,13 @@ class TTS:
         ssl = self._hubert_jit(
             self.cnhubert_params, padded[None, :],
             np.asarray([true_len], np.int32))              # (1, T50, 768)
-        frames = int(feat_output_lengths(np.asarray(true_len)))
+        frames = int(feat_output_lengths(np.asarray(true_len),
+                                         self.cnhubert.cfg))
         ssl = np.asarray(ssl)[:, :frames, :]
-        t25 = frames // 2
+        # 25hz models halve the SSL rate via stride-2 ssl_proj
+        # (normalization.py applies the same branch)
+        t25 = frames // 2 \
+            if self.vits_cfg.semantic_frame_rate == "25hz" else frames
         pad_t = -(-ssl.shape[1] // 32) * 32
         ssl_p = np.pad(ssl, ((0, 0), (0, pad_t - ssl.shape[1]), (0, 0)))
         codes = self._latent_jit(self.vits_params, ssl_p)   # (1, T25)
@@ -265,52 +272,82 @@ class TTS:
     def to_batch(segments: List[Dict], batch_size: int,
                  threshold: float = 0.75,
                  split_bucket: bool = True) -> Tuple[List[List[Dict]], List[List[int]]]:
-        """Sort-by-length bucketing (reference: tts.py:460-551)."""
-        order = sorted(range(len(segments)),
-                       key=lambda i: len(segments[i]["phones"]))
-        batches, index_batches = [], []
-        cur: List[Dict] = []
-        cur_idx: List[int] = []
-        max_len = 0
-        for i in order:
-            seg = segments[i]
-            L = len(seg["phones"])
-            max_len = max(max_len, L)
-            if split_bucket and cur and (
-                    len(cur) >= batch_size
-                    or L * threshold > max_len * 0.999 and len(cur) >= batch_size):
-                batches.append(cur)
-                index_batches.append(cur_idx)
-                cur, cur_idx, max_len = [], [], L
-            cur.append(seg)
-            cur_idx.append(i)
-            if len(cur) >= batch_size:
-                batches.append(cur)
-                index_batches.append(cur_idx)
-                cur, cur_idx, max_len = [], [], 0
-        if cur:
-            batches.append(cur)
-            index_batches.append(cur_idx)
+        """Similar-length bucketing (reference: tts.py:460-551).
+
+        Reference semantics: sort by normalized-text length, then greedily
+        take up to ``batch_size`` items; a window is accepted when its median
+        length over its mean length >= ``threshold`` (i.e. the window is
+        length-homogeneous enough), otherwise the window shrinks by one.  A
+        singleton window is always accepted, so the loop terminates.
+        """
+        def _len(seg: Dict) -> int:
+            t = seg.get("norm_text")
+            return len(t) if t else len(seg["phones"])
+
+        index_batches: List[List[int]] = []
+        if split_bucket:
+            order = sorted(range(len(segments)), key=lambda i: _len(segments[i]))
+            lens = [float(_len(segments[i])) for i in order]
+            pos = 0
+            while pos < len(order):
+                pos_end = min(pos + batch_size, len(order))
+                while pos < pos_end:
+                    window = lens[pos:pos_end]
+                    score = window[(pos_end - pos) // 2] / (
+                        sum(window) / len(window) + 1e-8)
+                    if score >= threshold or pos_end - pos == 1:
+                        index_batches.append(order[pos:pos_end])
+                        pos = pos_end
+                        break
+                    pos_end -= 1
+        else:
+            for i in range(0, len(segments), batch_size):
+                index_batches.append(
+                    list(range(i, min(i + batch_size, len(segments)))))
+        batches = [[segments[i] for i in idxs] for idxs in index_batches]
         return batches, index_batches
 
     # ---- main pipeline ----------------------------------------------------------
 
     def run(self, task: InferenceTaskData
             ) -> Generator[Tuple[int, np.ndarray], None, None]:
-        """Yields (sample_rate, int16 waveform)."""
+        """Yields (sample_rate, int16 waveform).
+
+        Reference semantics (tts.py:577-868): ``seed=-1`` (or
+        ``keep_random``) draws a fresh random seed, surfaced via
+        ``self.last_seed``; ``return_fragment`` yields one postprocessed
+        fragment per batch (bucketing disabled); any exception mid-synthesis
+        yields one second of silence, reloads both models, and re-raises.
+        """
         self._require_models()
         t0 = time.time()
         self.set_ref_audio(task.ref_audio_path, task.aux_ref_audio_paths)
 
-        seed = task.seed if task.seed and task.seed > 0 else 1234
-        rng = rng_mod.fast_key(seed)
+        # real random-seed semantics (reference: tts.py:35-51,
+        # inference/__init__.py:76-101): -1/0/empty -> draw and surface
+        import random as _random
 
-        # prompt text phones
+        seed = -1 if task.keep_random else task.seed
+        actual_seed = seed if seed not in (-1, 0, "", None) \
+            else _random.randrange(1 << 32)
+        self.last_seed = int(actual_seed)
+        rng = rng_mod.fast_key(self.last_seed)
+
+        split_bucket = task.split_bucket
+        if task.return_fragment and split_bucket:
+            split_bucket = False
+            logger.info("return_fragment: split_bucket disabled")
+        if task.speed_factor != 1.0:
+            split_bucket = False
+
+        # prompt text phones (ref_text_free suppresses the prompt text,
+        # reference: inference/__init__.py:84)
         prompt_phones: List[int] = []
         prompt_bert = np.zeros((1024, 0), np.float32)
-        if task.prompt_text.strip():
+        prompt_text = "" if task.ref_text_free else task.prompt_text
+        if prompt_text.strip():
             phones, bert, _ = self.preprocessor.get_phones_and_bert(
-                task.prompt_text, task.prompt_lang)
+                prompt_text, task.prompt_lang)
             prompt_phones, prompt_bert = phones, bert
         t1 = time.time()
 
@@ -323,43 +360,71 @@ class TTS:
         t2 = time.time()
 
         batches, index_batches = self.to_batch(
-            segments, task.batch_size, task.batch_threshold,
-            task.split_bucket)
+            segments, task.batch_size, task.batch_threshold, split_bucket)
 
         prompt_semantic = self.prompt_cache["prompt_semantic"]
         audio_fragments: List[Optional[np.ndarray]] = [None] * len(segments)
         t_ar = 0.0
         t_voc = 0.0
+        sr = self.cfg.sampling_rate
 
-        for batch, idxs in zip(batches, index_batches):
-            ta = time.time()
-            tokens, lengths = self._ar_decode(
-                batch, prompt_phones, prompt_bert, prompt_semantic, task, rng)
-            rng = jax.random.fold_in(rng, 1)
-            t_ar += time.time() - ta
+        try:
+            for batch, idxs in zip(batches, index_batches):
+                ta = time.time()
+                tokens, lengths = self._ar_decode(
+                    batch, prompt_phones, prompt_bert, prompt_semantic, task,
+                    rng)
+                rng = jax.random.fold_in(rng, 1)
+                t_ar += time.time() - ta
 
-            tv = time.time()
-            if task.parallel_infer and len(batch) > 1:
-                wavs = self._vocode_batch(tokens, lengths, batch,
-                                          task.speed_factor)
+                tv = time.time()
+                if task.parallel_infer and len(batch) > 1:
+                    wavs = self._vocode_batch(tokens, lengths, batch,
+                                              task.speed_factor)
+                else:
+                    wavs = []
+                    for j, seg in enumerate(batch):
+                        n = int(lengths[j])
+                        codes = np.asarray(tokens[j][:max(n, 1)])
+                        wavs.append(self._vocode(codes, seg["phones"],
+                                                 task.speed_factor, rng))
                 for j, wav in enumerate(wavs):
                     audio_fragments[idxs[j]] = wav
-            else:
-                for j, seg in enumerate(batch):
-                    n = int(lengths[j])
-                    codes = np.asarray(tokens[j][:max(n, 1)])
-                    wav = self._vocode(codes, seg["phones"],
-                                       task.speed_factor, rng)
-                    audio_fragments[idxs[j]] = wav
-            t_voc += time.time() - tv
+                t_voc += time.time() - tv
 
-        sr = self.cfg.sampling_rate
+                if task.return_fragment:
+                    yield sr, self._postprocess(list(wavs),
+                                                task.fragment_interval)
+        except Exception:
+            # reference tts.py:852-864: emit silence, drop + reload both
+            # models so a poisoned device state can't wedge later requests
+            yield sr, np.zeros(sr, np.int16)
+            self._reload_models()
+            raise
+
+        if task.return_fragment:
+            return
         audio = self._postprocess(
             [a for a in audio_fragments if a is not None],
             task.fragment_interval)
         logger.info("tts phases: ref=%.2fs text=%.2fs ar=%.2fs voc=%.2fs",
                     t1 - t0, t2 - t1, t_ar, t_voc)
         yield sr, audio
+
+    def _reload_models(self) -> None:
+        """Drop and reload both model param trees (reference tts.py:856-864)."""
+        self.vits_params = None
+        self.t2s_params = None
+        self._voc_fn = None
+        try:
+            if self.cfg.vits_weights_path and os.path.exists(
+                    self.cfg.vits_weights_path):
+                self.init_vits_weights(self.cfg.vits_weights_path)
+            if self.cfg.t2s_weights_path and os.path.exists(
+                    self.cfg.t2s_weights_path):
+                self.init_t2s_weights(self.cfg.t2s_weights_path)
+        except Exception:
+            logger.exception("model reload after inference failure failed")
 
     # ---- stages ---------------------------------------------------------------
 

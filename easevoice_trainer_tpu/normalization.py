@@ -135,6 +135,7 @@ class Normalize:
             return EaseVoiceResponse(
                 ResponseStatus.FAILED,
                 f"cnhubert weights unavailable at {self.cnhubert_path}")
+        self.hubert_cfg = model.cfg
         import jax
 
         apply = jax.jit(model.apply)
@@ -176,7 +177,8 @@ class Normalize:
         padded[:true_len] = wav16
         ssl = np.asarray(apply(params, padded[None, :],
                                np.asarray([true_len], np.int32)))
-        frames = int(feat_output_lengths(np.asarray(true_len)))
+        frames = int(feat_output_lengths(np.asarray(true_len),
+                                         self.hubert_cfg))
         ssl = ssl[:, :frames, :]                          # (1, T, 768)
         if np.isnan(ssl).any():
             return False

@@ -155,7 +155,7 @@ class AudioService:
                              traceback.format_exc())
                 trace[name] = ResponseStatus.FAILED
         if separator is None:
-            trace["__mode__"] = "passthrough"
+            # mode reported in the message: trace stays a pure per-file map
             return EaseVoiceResponse(
                 ResponseStatus.SUCCESS,
                 "UVR5 passthrough: separator unavailable; input copied as "
@@ -229,15 +229,15 @@ class AudioService:
                              traceback.format_exc())
                 trace[path] = ResponseStatus.FAILED
         if denoiser is None:
-            trace["__mode__"] = "passthrough"
             return EaseVoiceResponse(
                 ResponseStatus.SUCCESS,
                 "denoise passthrough: backend unavailable; files copied "
                 "unmodified", trace)
-        # which model actually ran (modelscope / frcrn-jax / spectral-gate)
-        trace["__backend__"] = denoiser.backend
-        return EaseVoiceResponse(ResponseStatus.SUCCESS, "Denoise Success",
-                                 trace)
+        # which model actually ran (modelscope / frcrn-jax / spectral-gate);
+        # reported in the message so the trace stays a pure per-file map
+        return EaseVoiceResponse(
+            ResponseStatus.SUCCESS,
+            f"Denoise Success (backend: {denoiser.backend})", trace)
 
     @staticmethod
     def _load_denoiser():
@@ -282,7 +282,6 @@ class AudioService:
                 f.write("\n".join(lines))
         if recognize is None:
             # passthrough must be visible to the caller, not silent
-            trace["__mode__"] = "passthrough"
             return EaseVoiceResponse(
                 ResponseStatus.SUCCESS,
                 "asr passthrough: no ASR backend available; empty "

@@ -91,7 +91,11 @@ class VoiceCloneService:
         audio_io.write_wav(path, data, sampling_rate)
         result = EaseVoiceResponse(
             ResponseStatus.SUCCESS, "Voice cloned successfully",
-            {"sampling_rate": sampling_rate, "output_path": path})
+            {"sampling_rate": sampling_rate, "output_path": path,
+             # the seed actually used (drawn fresh when seed=-1/keep_random,
+             # reference inference/__init__.py:76-101) so "random" renders
+             # can be reproduced by passing it back with keep_random=False
+             "actual_seed": getattr(self.tts, "last_seed", None)})
         self.session_manager.end_session_with_response(uuid, result)
         return result
 

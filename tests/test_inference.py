@@ -171,6 +171,90 @@ def test_to_batch_ordering():
     assert set(idxs[0]) == {1, 3}
 
 
+def test_to_batch_threshold_live():
+    """batch_threshold must actually split length-heterogeneous windows
+    (reference median/mean rule, tts.py:475-495)."""
+    # lengths (1,1,100): upper-median/mean = 1/34 << 0.75 -> the window
+    # shrinks to [1,1] + a singleton [100] despite batch_size=3
+    segs = [{"phones": [0] * 1}, {"phones": [0] * 1}, {"phones": [0] * 100}]
+    _, idxs = TTS.to_batch(segs, batch_size=3, threshold=0.75,
+                           split_bucket=True)
+    assert idxs == [[0, 1], [2]]
+    # threshold=0 accepts any window -> one batch
+    _, idxs0 = TTS.to_batch(segs, batch_size=3, threshold=0.0,
+                            split_bucket=True)
+    assert idxs0 == [[0, 1, 2]]
+    # homogeneous lengths batch together at the default threshold
+    segs_h = [{"phones": [0] * 10} for _ in range(4)]
+    _, idxs_h = TTS.to_batch(segs_h, batch_size=2, threshold=0.75,
+                             split_bucket=True)
+    assert [len(b) for b in idxs_h] == [2, 2]
+    # split_bucket=False: fixed-size chunks in input order
+    _, idxs_f = TTS.to_batch(segs, batch_size=2, split_bucket=False)
+    assert idxs_f == [[0, 1], [2]]
+
+
+def test_tts_return_fragment(tiny_tts):
+    tts, ref_path = tiny_tts
+    task = InferenceTaskData(
+        text="Hello there. General Kenobi. Another one.", text_lang="en",
+        ref_audio_path=ref_path, text_split_method="by_english_period",
+        batch_size=1, return_fragment=True)
+    outputs = list(tts.run(task))
+    # one yielded fragment per batch (3 sentences, batch_size=1)
+    assert len(outputs) >= 2
+    for sr, audio in outputs:
+        assert sr == 32000
+        assert audio.dtype == np.int16
+        assert len(audio) > 0
+
+
+def test_tts_seed_semantics(tiny_tts):
+    tts, ref_path = tiny_tts
+    base = dict(text="Hello there.", text_lang="en",
+                ref_audio_path=ref_path,
+                text_split_method="by_english_period", batch_size=1)
+    # fixed seed reproduces bit-identically
+    t1 = InferenceTaskData(seed=7, keep_random=False, **base)
+    a1 = list(tts.run(t1))[0][1]
+    assert tts.last_seed == 7
+    a2 = list(tts.run(InferenceTaskData(seed=7, keep_random=False,
+                                        **base)))[0][1]
+    np.testing.assert_array_equal(a1, a2)
+    # seed=-1 / keep_random draws and surfaces a real random seed
+    list(tts.run(InferenceTaskData(seed=-1, **base)))
+    s1 = tts.last_seed
+    list(tts.run(InferenceTaskData(seed=-1, **base)))
+    assert isinstance(s1, int) and 0 <= s1 < (1 << 32)
+    # two draws virtually never collide
+    assert tts.last_seed != s1
+
+
+def test_tts_failure_recovery(tiny_tts, monkeypatch):
+    """A mid-synthesis failure yields silence, reloads models, re-raises
+    (reference tts.py:852-864)."""
+    tts, ref_path = tiny_tts
+    saved = dict(vits=tts.vits_params, t2s=tts.t2s_params)
+    reloads = []
+    monkeypatch.setattr(tts, "_reload_models",
+                        lambda: reloads.append(1))
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic decode failure")
+
+    monkeypatch.setattr(tts, "_ar_decode", boom)
+    task = InferenceTaskData(
+        text="Hello there.", text_lang="en", ref_audio_path=ref_path,
+        text_split_method="by_english_period", batch_size=1)
+    gen = tts.run(task)
+    sr, audio = next(gen)
+    assert sr == 32000 and not audio.any()  # silence fragment
+    with pytest.raises(RuntimeError, match="synthetic"):
+        next(gen)
+    assert reloads == [1]
+    assert tts.vits_params is saved["vits"]  # reload stub left state intact
+
+
 def test_detect_language_runs_ja_only_han():
     # shinjitai/kokuji flip pure-Han runs to ja (LangSegment-grade case)
     assert detect_language_runs("東京駅")[0][0] == "ja"
