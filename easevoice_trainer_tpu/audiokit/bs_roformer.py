@@ -396,8 +396,9 @@ class BSRoformerSeparator:
             weight[pos:pos + valid] += window[:valid]
             pos += step
         out /= np.maximum(weight, 1e-8)
-        vocal = out.mean(axis=0)
-        inst = wav.mean(axis=0)[:len(vocal)] - vocal
+        # true stereo out (2, T) — reference writes stereo stems
+        vocal = out
+        inst = wav[:, :vocal.shape[-1]] - vocal
         return vocal, inst
 
 

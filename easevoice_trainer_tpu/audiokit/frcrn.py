@@ -428,14 +428,109 @@ def load_torch_state(path: str) -> Dict:
     return state
 
 
+def adapt_modelscope_state(state: Dict):
+    """Rename a modelscope ``speech_frcrn_ans_cirm_16k`` state dict onto the
+    replica key scheme consumed by :func:`convert_frcrn_weights`.
+
+    Documented modelscope layout (modelscope/models/audio/ans/{frcrn,unet,
+    complex_nn}.py; the released ``pytorch_model.bin`` carries bare FRCRN
+    keys — FRCRNDecorator loads it with ``self.model.load_state_dict``):
+
+    ==============================================  =========================
+    modelscope key family                           replica key
+    ==============================================  =========================
+    ``stft.weight`` / ``istft.weight``              dropped (framing is
+                                                    computed functionally)
+    ``{net}.encoder{i}.conv.conv_{re,im}.*``        ``{net}.enc{i}_conv.*``
+    ``{net}.encoder{i}.bn.bn_{re,im}.*``            ``{net}.enc{i}_bn.*``
+    ``{net}.decoder{i}.{conv,bn}.*``                ``{net}.dec{i}_...*``
+    per-stage ``...fsmn_{re,im}_L1.{linear,         ``{net}.{enc,dec}{i}_fr.
+    project,conv1}.*`` (ComplexUniDeepFsmn_L1)      fsmn.{re,im}.*``
+    net-level ``...fsmn_{re,im}_L{1,2}.*``          ``{net}.bottleneck{0,1}.
+    (two-layer ComplexUniDeepFsmn)                  {re,im}.*``
+    ``{net}.linear.conv_{re,im}.*``                 ``{net}.mask_conv.*``
+    ==============================================  =========================
+
+    The frequency-recurrence wrapper names vary across modelscope
+    revisions, so FSMN keys are matched structurally (stage index +
+    encoder/decoder side + leg name) rather than by exact module path.
+    Returns ``(adapted, leftovers)``; the caller decides whether leftover
+    keys are fatal.
+    """
+    import re as _re
+
+    adapted: Dict = {}
+    leftovers = []
+    for k, v in state.items():
+        if k.startswith(("stft.", "istft.")) or k.endswith(".window"):
+            continue
+        m = _re.match(r"(unet2|unet)\.(.*)$", k)
+        if not m:
+            leftovers.append(k)
+            continue
+        net, rest = m.group(1), m.group(2)
+
+        fs = _re.search(
+            r"fsmn_(re|im)_L([12])\.(linear|project|conv1)\.(weight|bias)$",
+            rest)
+        if fs:
+            part, layer, sub, wb = fs.groups()
+            stage = _re.search(r"(encoder|decoder|enc|dec|en|de)[._]?(\d+)",
+                               rest)
+            if stage:
+                kind = "enc" if stage.group(1).startswith("en") else "dec"
+                if layer != "1":
+                    leftovers.append(k)  # per-stage FR has a single layer
+                    continue
+                adapted[f"{net}.{kind}{stage.group(2)}_fr.fsmn."
+                        f"{part}.{sub}.{wb}"] = v
+            else:
+                adapted[f"{net}.bottleneck{int(layer) - 1}."
+                        f"{part}.{sub}.{wb}"] = v
+            continue
+
+        m2 = _re.match(
+            r"(encoder|decoder)(\d+)\.(conv|bn)\."
+            r"((?:conv|bn)_(?:re|im))\.(.+)$", rest)
+        if m2:
+            kind = "enc" if m2.group(1) == "encoder" else "dec"
+            adapted[f"{net}.{kind}{m2.group(2)}_{m2.group(3)}."
+                    f"{m2.group(4)}.{m2.group(5)}"] = v
+            continue
+
+        m3 = _re.match(r"linear\.conv_(re|im)\.(weight|bias)$", rest)
+        if m3:
+            adapted[f"{net}.mask_conv.conv_{m3.group(1)}.{m3.group(2)}"] = v
+            continue
+        leftovers.append(k)
+    return adapted, leftovers
+
+
 class FRCRNDenoiser:
     """File-to-file denoiser over the JAX FRCRN net (16 kHz, like the
-    reference's modelscope pipeline)."""
+    reference's modelscope pipeline).  Accepts checkpoints in either the
+    replica naming or the released modelscope naming (adapted via
+    :func:`adapt_modelscope_state`)."""
 
     SR = 16000
 
     def __init__(self, model_path: str, cfg: Optional[FRCRNConfig] = None):
         state = load_torch_state(model_path)
+        if "unet.enc0_conv.conv_re.weight" not in state:
+            adapted, leftovers = adapt_modelscope_state(state)
+            if "unet.enc0_conv.conv_re.weight" in adapted:
+                if leftovers:
+                    logger.info("frcrn: %d unmapped modelscope keys "
+                                "(e.g. %s)", len(leftovers), leftovers[:3])
+                state = adapted
+            else:
+                sample = sorted(state)[:8]
+                raise RuntimeError(
+                    "FRCRN checkpoint %r uses an unrecognized key scheme; "
+                    "expected replica keys (unet.enc0_conv.conv_re.weight "
+                    "...) or modelscope speech_frcrn_ans_cirm_16k keys "
+                    "(unet.encoder0.conv.conv_re.weight ...). Found e.g. %s"
+                    % (model_path, sample))
         self.cfg = cfg or infer_frcrn_config(state)
         params, stats = convert_frcrn_weights(state, self.cfg)
         self._init(params, stats)

@@ -508,5 +508,7 @@ class MDXSeparator:
         if wav.ndim == 1:
             wav = np.stack([wav, wav])
         opt = self.demix(wav)
-        vocal = (wav[:, :opt.shape[1]] - opt).mean(axis=0)
-        return vocal, opt.mean(axis=0)
+        # true stereo out (2, T) — reference writes stereo stems
+        # (separate.py:48-76)
+        vocal = wav[:, :opt.shape[1]] - opt
+        return vocal, opt

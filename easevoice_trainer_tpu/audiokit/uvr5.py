@@ -514,7 +514,8 @@ class VRSeparator:
 
     def separate(self, wav: np.ndarray, sr: int
                  ) -> Tuple[np.ndarray, np.ndarray]:
-        """mono/stereo float wav -> (vocals, accompaniment) mono float."""
+        """mono/stereo float wav -> (vocals, accompaniment) stereo (2, T)
+        (reference writes true stereo, separate.py:48-76)."""
         if sr != self.mp["sr"]:
             wav = audio_io.resample(wav, sr, self.mp["sr"])
         if wav.ndim == 1:
@@ -541,15 +542,15 @@ class VRSeparator:
         inst_spec = comb - vocal_spec
         vocal = self._multiband_to_wave(self._split_mask(vocal_spec, specs))
         inst = self._multiband_to_wave(self._split_mask(inst_spec, specs))
-        n = min(len(vocal), len(inst))
-        return vocal[:n], inst[:n]
+        n = min(vocal.shape[-1], inst.shape[-1])
+        return vocal[:, :n], inst[:, :n]
 
     def _multiband_to_wave(self, band_specs: List[np.ndarray]) -> np.ndarray:
         """Progressive synthesis up the band chain with the reference's
         band-edge fades (spec_utils.py cmb_spectrogram_to_wave:356-431):
         lowest band low-pass-faded, mid bands band-pass-faded, the running
         sum resampled up to each next band's rate, the top band
-        high-pass-faded.  Returns mono (stereo mean)."""
+        high-pass-faded.  Returns stereo (2, T)."""
         bands = self.mp["band"]
         order = sorted(bands, key=int)
         bands_n = len(order)
@@ -583,8 +584,8 @@ class VRSeparator:
                 if next_sr != bp["sr"]:
                     wave = audio_io.resample(wave, bp["sr"], next_sr)
         if wave is None:
-            return np.zeros(1, np.float32)
-        return _decode_channels(np.atleast_2d(wave), self.mp).mean(axis=0)
+            return np.zeros((2, 1), np.float32)
+        return _decode_channels(np.atleast_2d(wave), self.mp)
 
 
 # ---------------------------------------------------------------------------

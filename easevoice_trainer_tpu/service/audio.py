@@ -138,7 +138,10 @@ class AudioService:
         for path in files:
             name = os.path.basename(path)
             try:
-                wav = audio_io.load_audio(path, 44100)
+                # true stereo in/out (reference reformats to stereo 44.1k
+                # then writes stereo stems, audio.py:116-127 +
+                # separate.py:48-76)
+                wav = audio_io.load_audio(path, 44100, mono=False)
                 if separator is None:
                     vocal, accomp = wav, np.zeros_like(wav)
                 else:

@@ -245,3 +245,80 @@ def test_si_snr_loss_sane(rng):
     noisy = ref + rng.normal(size=ref.shape).astype(np.float32)
     assert float(J.si_snr_loss(noisy, ref)) > float(
         J.si_snr_loss(np.copy(ref), ref))
+
+
+# ---------------------------------------------------------------------------
+# modelscope checkpoint naming adapter
+# ---------------------------------------------------------------------------
+
+
+def _to_modelscope_names(state):
+    """Inverse-render the replica state dict into the released modelscope
+    speech_frcrn_ans_cirm_16k key scheme (frcrn_modelscope manifest in
+    audiokit/frcrn.py:adapt_modelscope_state)."""
+    import re
+
+    out = {}
+    for k, v in state.items():
+        m = re.match(r"(unet2|unet)\.(.*)$", k)
+        net, rest = m.group(1), m.group(2)
+        m = re.match(r"(enc|dec)(\d+)_conv\.(conv_(?:re|im))\.(.+)$", rest)
+        if m:
+            kind = "encoder" if m.group(1) == "enc" else "decoder"
+            out[f"{net}.{kind}{m.group(2)}.conv.{m.group(3)}.{m.group(4)}"] = v
+            continue
+        m = re.match(r"(enc|dec)(\d+)_bn\.(bn_(?:re|im))\.(.+)$", rest)
+        if m:
+            kind = "encoder" if m.group(1) == "enc" else "decoder"
+            out[f"{net}.{kind}{m.group(2)}.bn.{m.group(3)}.{m.group(4)}"] = v
+            continue
+        m = re.match(r"(enc|dec)(\d+)_fr\.fsmn\.(re|im)\.(.+)$", rest)
+        if m:
+            kind = "encoder" if m.group(1) == "enc" else "decoder"
+            out[f"{net}.{kind}{m.group(2)}.fsmn.fsmn_{m.group(3)}_L1."
+                f"{m.group(4)}"] = v
+            continue
+        m = re.match(r"bottleneck([01])\.(re|im)\.(.+)$", rest)
+        if m:
+            out[f"{net}.cfsmn.fsmn_{m.group(2)}_L{int(m.group(1)) + 1}."
+                f"{m.group(3)}"] = v
+            continue
+        m = re.match(r"mask_conv\.conv_(re|im)\.(.+)$", rest)
+        if m:
+            out[f"{net}.linear.conv_{m.group(1)}.{m.group(2)}"] = v
+            continue
+        raise AssertionError(f"unmapped replica key {k}")
+    # fixed conv-DFT kernels present in the released blob; must be dropped
+    out["stft.weight"] = torch.zeros(3, 1, 3)
+    out["istft.weight"] = torch.zeros(3, 1, 3)
+    return out
+
+
+def test_modelscope_adapter_full_net_parity(rng):
+    net = _random_replica(seed=3)
+    ms_state = _to_modelscope_names(net.state_dict())
+    adapted, leftovers = J.adapt_modelscope_state(ms_state)
+    assert leftovers == []
+    params, stats = J.convert_frcrn_weights(adapted, TINY)
+    spec = rng.normal(size=(1, TINY.n_bins, 7, 1, 2)).astype(np.float32)
+    with torch.no_grad():
+        t_est, _ = net(torch.from_numpy(spec))
+    j_est, _ = J.FRCRN(TINY).apply(
+        {"params": params, "batch_stats": stats}, spec)
+    np.testing.assert_allclose(np.asarray(j_est), t_est.numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_modelscope_adapter_via_denoiser(tmp_path, monkeypatch):
+    net = _random_replica(seed=4)
+    ckpt = tmp_path / "pytorch_model.bin"
+    torch.save(_to_modelscope_names(net.state_dict()), str(ckpt))
+    monkeypatch.setenv("EASEVOICE_FRCRN_STFT", "64,32,64")
+    den = J.FRCRNDenoiser(str(ckpt))  # config inferred post-adaptation
+    assert den.cfg == TINY
+
+
+def test_unrecognized_scheme_raises(tmp_path):
+    torch.save({"alien.weight": torch.zeros(3)}, str(tmp_path / "x.bin"))
+    with pytest.raises(RuntimeError, match="unrecognized key scheme"):
+        J.FRCRNDenoiser(str(tmp_path / "x.bin"))

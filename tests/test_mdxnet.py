@@ -163,4 +163,5 @@ def test_mdx_demix_smoke(rng):
     assert out.shape == wav.shape
     assert np.isfinite(out).all()
     vocal, inst = sep.separate(wav[0], jm.MDXSeparator.SR)
+    assert vocal.shape[0] == 2 and inst.shape[0] == 2  # true stereo out
     assert np.isfinite(vocal).all() and np.isfinite(inst).all()

@@ -138,9 +138,12 @@ def test_combine_and_reconstruct_match_reference(ref_spec_utils, config, rng):
                                err_msg=f"combine ({config})")
 
     # ---- synthesis: fades + progressive resample ----------------------------
+    # full stereo comparison: both sides emit true 2-channel audio
+    # (reference returns (T, 2), separate.py:48-76 writes stereo stems)
     ours_wav = sep._multiband_to_wave(sep._split_mask(ours_comb, specs))
     ref_wav = ref_spec_utils.cmb_spectrogram_to_wave(ref_comb, ref_mp)
-    ref_mono = np.asarray(ref_wav).T.mean(axis=0)    # (T, 2) -> mono
-    n = min(len(ours_wav), len(ref_mono))
-    np.testing.assert_allclose(ours_wav[:n], ref_mono[:n], atol=1e-4,
+    ref_st = np.asarray(ref_wav).T                   # (T, 2) -> (2, T)
+    assert ours_wav.shape[0] == 2
+    n = min(ours_wav.shape[-1], ref_st.shape[-1])
+    np.testing.assert_allclose(ours_wav[:, :n], ref_st[:, :n], atol=1e-4,
                                err_msg=f"reconstruct ({config})")
