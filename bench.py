@@ -119,6 +119,24 @@ def main():
     except Exception as exc:                    # pragma: no cover
         extra["cost_analysis_error"] = str(exc)[:120]
 
+    # s1 GPT training throughput + MFU (the other trainer's north star)
+    if "--no-gpt" not in sys.argv:
+        try:
+            sys.path.insert(0, "benchmarks")
+            from profile_gpt import measure as measure_gpt
+
+            g = measure_gpt(8, 256, 10)
+            extra["gpt_steps_per_sec"] = g["steps_per_sec"]
+            extra["gpt_step_ms"] = g["step_ms"]
+            peaks = _PEAKS.get(extra["device"])
+            if peaks and g.get("tflops_per_step"):
+                extra["gpt_mfu_pct"] = round(
+                    100 * g["tflops_per_step"] * 1e12
+                    * g["steps_per_sec"] / peaks[0], 2)
+                extra["gpt_gbytes_per_step"] = g.get("gbytes_per_step")
+        except Exception as exc:                # pragma: no cover
+            extra["gpt_error"] = str(exc)[:120]
+
     # second north star: synthesis real-time factor (target <= 0.1)
     if "--no-rtf" not in sys.argv:
         try:
@@ -130,6 +148,22 @@ def main():
             extra["rtf_detail"] = r["detail"]
         except Exception as exc:                # pragma: no cover
             extra["rtf_error"] = str(exc)[:120]
+
+    # BASELINE.md north star: s2+s1 fine-tune wall-clock on a 1-minute
+    # clone dataset through the production drivers (compile-cache warm
+    # rounds reflect steady-state; EASEVOICE_BENCH_E2E=0 skips)
+    import os as _os
+
+    if ("--no-e2e" not in sys.argv
+            and _os.environ.get("EASEVOICE_BENCH_E2E", "1") != "0"):
+        try:
+            sys.path.insert(0, "benchmarks")
+            from e2e_finetune import measure as measure_e2e
+
+            e = measure_e2e(2)
+            extra["e2e_finetune"] = e
+        except Exception as exc:                # pragma: no cover
+            extra["e2e_error"] = str(exc)[:120]
 
     print(json.dumps({
         "metric": "s2_train_steps_per_sec",

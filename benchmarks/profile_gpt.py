@@ -53,13 +53,10 @@ def build(batch: int, sem_len: int, no_opt: bool = False):
     return state, batch_dev, step
 
 
-def main():
+def measure(batch: int = 8, sem_len: int = 256, iters: int = 10,
+            no_opt: bool = False) -> dict:
+    """Best-of-3-window s1 step timing + cost model; reused by bench.py."""
     import jax
-
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    sem_len = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    no_opt = "--no-opt" in sys.argv
 
     state, batch_dev, step = build(batch, sem_len, no_opt)
     for i in range(2):
@@ -73,17 +70,34 @@ def main():
                                   jax.random.PRNGKey(100 + w * iters + i))
         float(metrics["loss"])
         best = min(best, time.perf_counter() - t0)
-    label = "gpt no-opt" if no_opt else "gpt full"
-    print(f"{label} step ({batch}x{sem_len}): {best/iters*1e3:.2f} ms")
-
+    out = {"steps_per_sec": round(iters / best, 3),
+           "step_ms": round(best / iters * 1e3, 3),
+           "batch": batch, "sem_len": sem_len}
     try:
         ca = step.lower(state, batch_dev,
                         jax.random.PRNGKey(0)).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
-        print(f"cost: {ca.get('flops', 0)/1e12:.3f} TFLOP, "
-              f"{ca.get('bytes accessed', 0)/1e9:.2f} GB")
-    except Exception as e:
-        print("cost analysis:", e)
+        out["tflops_per_step"] = round(float(ca.get("flops", 0.0)) / 1e12, 3)
+        out["gbytes_per_step"] = round(
+            float(ca.get("bytes accessed", 0.0)) / 1e9, 2)
+    except Exception:
+        pass
+    return out
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sem_len = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    no_opt = "--no-opt" in sys.argv
+
+    out = measure(batch, sem_len, iters, no_opt)
+    label = "gpt no-opt" if no_opt else "gpt full"
+    print(f"{label} step ({batch}x{sem_len}): {out['step_ms']:.2f} ms "
+          f"({out['steps_per_sec']} steps/s)")
+    if "tflops_per_step" in out:
+        print(f"cost: {out['tflops_per_step']:.3f} TFLOP, "
+              f"{out['gbytes_per_step']:.2f} GB")
 
 
 if __name__ == "__main__":

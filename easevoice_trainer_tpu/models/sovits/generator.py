@@ -104,8 +104,14 @@ class Generator(nn.Module):
         for i, (u, k) in enumerate(zip(self.upsample_rates, self.upsample_kernel_sizes)):
             x = leaky_relu(x)
             ch_out = self.upsample_initial_channel // (2 ** (i + 1))
+            # small-channel upsamples run depth-to-space folded so the
+            # lane dim is u*fold*ch_out ~ 128-dense (see WNConvTranspose1d)
+            tfold = (max(1, 128 // (u * ch_out))
+                     if u * ch_out <= 128 and k - u == 2 * ((k - u) // 2)
+                     else 0)
             x = WNConvTranspose1d(ch, ch_out, k, u, padding=(k - u) // 2,
-                                  name=f"up_{i}", dtype=dtype)(x)
+                                  name=f"up_{i}", dtype=dtype,
+                                  fold=tfold)(x)
             ch = ch_out
             # fold small-channel stages so lanes are 128-dense (see WNConv1d)
             fold = max(1, min(8, 128 // ch)) if ch < 128 else 1

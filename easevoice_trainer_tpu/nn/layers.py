@@ -138,6 +138,63 @@ def _fold_selector(k: int, d: int, p: int, f: int, stride: int = 1):
     return out
 
 
+_GROUP_SCATTERS: dict = {}
+
+
+def _group_scatter(groups: int, features: int):
+    """Static 0/1 mask (groups, features): S[g, o] = 1 iff output channel o
+    belongs to group g.  Densifies a grouped kernel into a block-diagonal
+    dense one (structural zeros) so lane-starved grouped convs can ride the
+    fold path as full-width MXU matmuls."""
+    key = (groups, features)
+    hit = _GROUP_SCATTERS.get(key)
+    if hit is None:
+        per = features // groups
+        s = np.zeros((groups, features), np.float32)
+        for g in range(groups):
+            s[g, g * per:(g + 1) * per] = 1.0
+        hit = _GROUP_SCATTERS[key] = s
+    return hit
+
+
+def folded_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
+                  dilation: int = 1, pad: int = 0, fold: int = 1,
+                  dtype=None) -> jnp.ndarray:
+    """Space-to-depth folded 1-D conv: ``kernel`` is dense (k, Cin, Cout);
+    time is folded into channels by ``fold`` so the lane dimension is
+    ``fold*C`` wide, and the dilated strided conv becomes an equivalent
+    stride-1 conv over block kernels (see :func:`_fold_selector`).
+    Numerics match the unfolded conv up to matmul reassociation."""
+    dtype = dtype or x.dtype
+    k, cin, cout = kernel.shape
+    t_out = (x.shape[1] + 2 * pad - (k - 1) * dilation - 1) // stride + 1
+    f = fold
+    if f <= 1:
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel,
+            window_strides=(stride,), padding=[(pad, pad)],
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"))
+    b, t, c = x.shape
+    fin = f * stride
+    # right-pad to a whole number of folded blocks; the extra zeros sit
+    # at/beyond the conv's own zero padding, so slicing back to t_out is
+    # exact
+    t_pad = (-t) % fin
+    xin = x if t_pad == 0 else jnp.pad(x, ((0, 0), (0, t_pad), (0, 0)))
+    m, q_min, kp = _fold_selector(k, dilation, pad, f, stride)
+    wf = jnp.einsum("tio,tqrs->qriso", kernel, jnp.asarray(m, kernel.dtype))
+    wf = wf.reshape(kp, fin * c, f * cout)
+    y = jax.lax.conv_general_dilated(
+        xin.astype(dtype).reshape(b, (t + t_pad) // fin, fin * c),
+        wf,
+        window_strides=(1,),
+        padding=[(-q_min, kp - 1 + q_min)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    return y.reshape(b, (t + t_pad) // stride, cout)[:, :t_out]
+
+
 class WNConv1d(nn.Module):
     """Weight-normalized Conv1d (reference: torch.nn.utils.weight_norm).
 
@@ -173,32 +230,10 @@ class WNConv1d(nn.Module):
         if pad is None:
             pad = (self.kernel_size * self.dilation - self.dilation) // 2
 
-        f = self.fold
-        t_out = (x.shape[1] + 2 * pad
-                 - (self.kernel_size - 1) * self.dilation - 1) // self.stride + 1
-        if f > 1 and self.groups == 1:
-            b, t, c = x.shape
-            fin = f * self.stride
-            # right-pad to a whole number of folded blocks; the extra
-            # zeros sit at/beyond the conv's own zero padding, so slicing
-            # the output back to t_out is exact
-            t_pad = (-t) % fin
-            xin = x if t_pad == 0 else jnp.pad(
-                x, ((0, 0), (0, t_pad), (0, 0)))
-            m, q_min, kp = _fold_selector(self.kernel_size, self.dilation,
-                                          pad, f, self.stride)
-            wf = jnp.einsum("tio,tqrs->qriso", kernel,
-                            jnp.asarray(m, kernel.dtype))
-            wf = wf.reshape(kp, fin * c, f * self.features)
-            y = jax.lax.conv_general_dilated(
-                xin.astype(dtype).reshape(b, (t + t_pad) // fin, fin * c),
-                wf,
-                window_strides=(1,),
-                padding=[(-q_min, kp - 1 + q_min)],
-                dimension_numbers=("NHC", "HIO", "NHC"),
-            )
-            y = y.reshape(b, (t + t_pad) // self.stride,
-                          self.features)[:, :t_out]
+        if self.fold > 1 and self.groups == 1:
+            y = folded_conv1d(x, kernel, stride=self.stride,
+                              dilation=self.dilation, pad=pad,
+                              fold=self.fold, dtype=dtype)
         else:
             y = jax.lax.conv_general_dilated(
                 x.astype(dtype),
@@ -215,14 +250,63 @@ class WNConv1d(nn.Module):
         return y
 
 
+_TFOLD_SELECTORS: dict = {}
+
+
+def _fold_selector_transpose(k: int, stride: int, p_eff: int, f: int):
+    """Static 0/1 selection tensor lowering a transposed conv to its
+    depth-to-space (sub-pixel) block equivalent, optionally with the input
+    time axis folded by ``f``.
+
+    With x'[m, r*Cin+ci] = x[m*f+r, ci] and the folded output
+    y'[Q, s_out*Cout+co] = y[Q*f*stride + s_out, co], the transposed conv
+    y[t] = sum_tau w[tau] x_dil[t + tau - p_eff] (x_dil = stride-dilated x,
+    flipped-kernel form) becomes a stride-1 conv with kernel
+    W'[q, r*Cin+ci, s_out*Cout+co] = w_flip[tau, co, ci] whenever
+    (s_out + tau - p_eff) % stride == 0 and
+    (s_out + tau - p_eff)//stride == (q + q_min)*f + r.
+    Returns (M[k, K', f, f*stride], q_min, K').
+    """
+    key = (k, stride, p_eff, f)
+    hit = _TFOLD_SELECTORS.get(key)
+    if hit is not None:
+        return hit
+    offs = []
+    for s_out in range(f * stride):
+        for tau in range(k):
+            o = s_out + tau - p_eff
+            if o % stride:
+                continue
+            offs.append((s_out, tau, o // stride))
+    q_min = min(u // f for _, _, u in offs)
+    q_max = max(u // f for _, _, u in offs)
+    kp = q_max - q_min + 1
+    m = np.zeros((k, kp, f, f * stride), np.float32)
+    for s_out, tau, u in offs:
+        m[tau, u // f - q_min, u % f, s_out] = 1.0
+    out = (m, q_min, kp)
+    _TFOLD_SELECTORS[key] = out
+    return out
+
+
 class WNConvTranspose1d(nn.Module):
     """Weight-normalized transposed conv with torch output-length semantics.
 
     out_len = (T - 1) * stride - 2 * padding + kernel_size
     (reference: HiFi-GAN upsample stack, src/easevoice/module/models.py:427-443).
 
-    Implemented as an input-dilated convolution with a flipped kernel — the
+    Default path: input-dilated convolution with a flipped kernel — the
     exact algebraic equivalent — which XLA lowers to MXU-friendly convs.
+
+    ``fold`` >= 1 with ``depth_to_space=True`` lowers it instead to a
+    stride-1 conv producing ``fold*stride*Cout`` channels followed by a
+    depth-to-space reshape: the small-channel HiFi-GAN upsample stages
+    (Cout=16..64) become 128-lane-dense matmuls and the dilated input's
+    structural zeros are never materialized.  Built from the same (g, v)
+    params by a static selection einsum — checkpoints and numerics
+    unchanged (up to matmul reassociation).  Requires the HiFi-GAN padding
+    identity out_len == T*stride (k - stride == 2*padding), which holds
+    for every reference stage.
     """
 
     in_features: int
@@ -232,6 +316,7 @@ class WNConvTranspose1d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    fold: int = 0   # 0 = dilated path; >=1 = depth-to-space with input fold
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -245,15 +330,38 @@ class WNConvTranspose1d(nn.Module):
         # conv_transpose(x, W) == conv(dilate(x), flip(W^T))
         kernel = jnp.flip(kernel, axis=0)            # (k, out, in) flipped
         kernel = jnp.swapaxes(kernel, 1, 2)          # -> (k, in, out)
-        pad = self.kernel_size - 1 - self.padding
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel,
-            window_strides=(1,),
-            padding=[(pad, pad)],
-            lhs_dilation=(self.stride,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-        )
+        p_eff = self.kernel_size - 1 - self.padding
+
+        f = self.fold
+        if f >= 1 and self.kernel_size - self.stride == 2 * self.padding:
+            b, t, c = x.shape
+            t_pad = (-t) % f
+            xin = x if t_pad == 0 else jnp.pad(
+                x, ((0, 0), (0, t_pad), (0, 0)))
+            tb = (t + t_pad) // f
+            m, q_min, kp = _fold_selector_transpose(
+                self.kernel_size, self.stride, p_eff, f)
+            wf = jnp.einsum("tio,tqrs->qriso", kernel,
+                            jnp.asarray(m, kernel.dtype))
+            wf = wf.reshape(kp, f * c, f * self.stride * self.features)
+            y = jax.lax.conv_general_dilated(
+                xin.astype(dtype).reshape(b, tb, f * c),
+                wf,
+                window_strides=(1,),
+                padding=[(-q_min, kp - 1 + q_min)],
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
+            y = y.reshape(b, (t + t_pad) * self.stride,
+                          self.features)[:, :t * self.stride]
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel,
+                window_strides=(1,),
+                padding=[(p_eff, p_eff)],
+                lhs_dilation=(self.stride,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + bias.astype(dtype)

@@ -4,6 +4,8 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
     data_parallel_mesh,
+    train_mesh,
+    model_parallel_size,
     local_batch_multiple,
     wrap_pad_indices,
     DATA_AXIS,

@@ -69,6 +69,44 @@ def wrap_pad_indices(idxs: Sequence[int], multiple: int) -> list:
     return idxs + [idxs[i % len(idxs)] for i in range(need)]
 
 
+def train_mesh(dp_flag: str = "EASEVOICE_DP",
+               tp_flag: str = "EASEVOICE_TP") -> Optional[Mesh]:
+    """Production trainers' (data, model) mesh from env flags.
+
+    ``EASEVOICE_TP=N`` (default 1) adds an N-way ``model`` axis for the
+    GPT's Megatron-style tensor parallelism (parallel/gpt_sharding.py);
+    ``EASEVOICE_DP`` keeps its data-axis semantics (auto|off|N).  With
+    TP off this is exactly :func:`data_parallel_mesh`.  Returns None when
+    the device pool gives a 1x1 mesh (single-chip fast path).
+    """
+    import os
+
+    try:
+        tp = int(os.environ.get(tp_flag, "1") or "1")
+    except ValueError:
+        tp = 1
+    if tp <= 1:
+        return data_parallel_mesh(dp_flag)
+    devices = jax.devices()
+    n_model = min(tp, len(devices))
+    if n_model < 2:
+        return data_parallel_mesh(dp_flag)
+    dp_val = os.environ.get(dp_flag, "auto").strip().lower()
+    avail = len(devices) // n_model
+    if dp_val in ("off", "none", "0"):
+        n_data = 1
+    elif dp_val == "auto":
+        n_data = max(avail, 1)
+    else:
+        n_data = max(min(int(dp_val), avail), 1)
+    return make_mesh(n_data=n_data, n_model=n_model,
+                     devices=devices[: n_data * n_model])
+
+
+def model_parallel_size(mesh: Optional[Mesh]) -> int:
+    return mesh.shape[MODEL_AXIS] if mesh is not None else 1
+
+
 def data_parallel_mesh(env_flag: str = "EASEVOICE_DP") -> Optional[Mesh]:
     """The production trainers' data-parallel mesh, or None for 1-chip.
 

@@ -183,14 +183,31 @@ class GPTTrain:
             logger.info("loaded pretrained GPT %s (%d unmatched)",
                         self.pretrained, len(unmatched))
 
-        # data-parallel over every visible chip (EASEVOICE_DP=auto|off|N)
+        # dp x tp over every visible chip (EASEVOICE_DP=auto|off|N,
+        # EASEVOICE_TP=N for Megatron-style tensor parallelism — the same
+        # specs the driver dryrun exercises, parallel/gpt_sharding.py)
         from .. import parallel
 
-        mesh = parallel.data_parallel_mesh()
+        mesh = parallel.train_mesh()
         if mesh is not None:
-            logger.info("data-parallel over %d devices",
-                        parallel.local_batch_multiple(mesh))
-            state = jax.device_put(state, parallel.replicated_sharding(mesh))
+            logger.info("mesh: data=%d x model=%d",
+                        parallel.local_batch_multiple(mesh),
+                        parallel.model_parallel_size(mesh))
+            if parallel.model_parallel_size(mesh) > 1:
+                from ..parallel.gpt_sharding import gpt_packed_specs
+                from jax.sharding import NamedSharding
+
+                pspecs = gpt_packed_specs(state.arena)
+                rep = parallel.replicated_sharding(mesh)
+                state = state.replace(
+                    params={k: jax.device_put(v, NamedSharding(mesh,
+                                                               pspecs[k]))
+                            for k, v in state.params.items()},
+                    opt_state=jax.device_put(state.opt_state, rep),
+                    step=jax.device_put(state.step, rep))
+            else:
+                state = jax.device_put(state,
+                                       parallel.replicated_sharding(mesh))
         else:
             state = jax.device_put(state, jax.devices()[0])
         step_fn = jax.jit(gpt_step.make_train_step(model, self.hp),

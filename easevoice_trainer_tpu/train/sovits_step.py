@@ -111,8 +111,12 @@ def make_optimizers(hp: S2TrainHP, arena_g, arena_d, steps_per_epoch: int):
         return fn
 
     def adamw(lr_fn):
-        tx = optax.adamw(lr_fn, b1=hp.betas[0], b2=hp.betas[1], eps=hp.eps,
-                         weight_decay=hp.weight_decay)
+        # bf16 moment storage (EASEVOICE_OPT_STATE=fp32 opts out) — the
+        # step is HBM-bound, moments are half its optimizer traffic
+        from .optim_lowp import adamw_lowp
+
+        tx = adamw_lowp(lr_fn, b1=hp.betas[0], b2=hp.betas[1], eps=hp.eps,
+                        weight_decay=hp.weight_decay)
         if hp.grad_clip:
             tx = optax.chain(optax.clip_by_global_norm(hp.grad_clip), tx)
         return tx

@@ -162,3 +162,82 @@ def test_folded_conv_matches_direct():
         assert y0.shape == y1.shape
         np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_discriminator_fold_equivalence():
+    """Folded discriminators (periods merged into batch, space-to-depth
+    convs, densified grouped kernels) must match the naive NHWC/grouped
+    path on identical params — logits exactly ordered, fmaps as the same
+    multiset (layout differs)."""
+    from easevoice_trainer_tpu.models.sovits.discriminator import (
+        DiscriminatorP, DiscriminatorS)
+
+    key = jax.random.PRNGKey(0)
+    # non-divisible T exercises the reflect pad + fold tail slicing
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 2000, 1))
+
+    for p in (2, 3, 5, 7, 11):
+        folded = DiscriminatorP(p, fold=True)
+        naive = DiscriminatorP(p, fold=False)
+        params = folded.init(key, x)["params"]
+        lf, ff = folded.apply({"params": params}, x)
+        ln, fn_ = naive.apply({"params": params}, x)
+        np.testing.assert_allclose(np.asarray(lf), np.asarray(ln),
+                                   atol=2e-4, rtol=1e-4,
+                                   err_msg=f"period {p} logits")
+        b = x.shape[0]
+        for i, (a, bb) in enumerate(zip(ff, fn_)):
+            # folded fmap (B*p, H, C) -> naive layout (B, H, p, C)
+            a = np.asarray(a).reshape(b, p, a.shape[1], a.shape[2])
+            a = a.transpose(0, 2, 1, 3)
+            np.testing.assert_allclose(a, np.asarray(bb), atol=2e-4,
+                                       rtol=1e-4,
+                                       err_msg=f"period {p} fmap {i}")
+
+    folded = DiscriminatorS(fold=True)
+    naive = DiscriminatorS(fold=False)
+    params = folded.init(key, x)["params"]
+    lf, ff = folded.apply({"params": params}, x)
+    ln, fn_ = naive.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(ln), atol=2e-4,
+                               rtol=1e-4, err_msg="scale logits")
+    for i, (a, bb) in enumerate(zip(ff, fn_)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), atol=2e-4,
+                                   rtol=1e-4, err_msg=f"scale fmap {i}")
+
+
+def test_transposed_conv_d2s_equivalence():
+    """WNConvTranspose1d(fold=f) — depth-to-space sub-pixel lowering for
+    the small-channel upsample stages — must match the dilated-conv path
+    on identical params for every (Cin, Cout, k, stride) HiFi-GAN uses."""
+    from easevoice_trainer_tpu.nn.layers import WNConvTranspose1d
+
+    key = jax.random.PRNGKey(0)
+    cases = [
+        # (cin, cout, k, stride, fold) — up_2..up_4 of the production stack
+        (128, 64, 8, 2, 1),
+        (64, 32, 2, 2, 2),
+        (32, 16, 2, 2, 4),
+        # plus the big-stride stages (eligible only via explicit fold)
+        (16, 8, 16, 10, 1),
+        (12, 6, 16, 8, 2),
+    ]
+    for cin, cout, k, s, f in cases:
+        pad = (k - s) // 2
+        x = jax.random.normal(jax.random.fold_in(key, k * s), (2, 50, cin))
+        folded = WNConvTranspose1d(cin, cout, k, s, padding=pad, fold=f)
+        naive = WNConvTranspose1d(cin, cout, k, s, padding=pad, fold=0)
+        params = folded.init(key, x)["params"]
+        yf = folded.apply({"params": params}, x)
+        yn = naive.apply({"params": params}, x)
+        assert yf.shape == yn.shape == (2, 50 * s, cout)
+        np.testing.assert_allclose(np.asarray(yf), np.asarray(yn),
+                                   atol=2e-4, rtol=1e-4,
+                                   err_msg=f"cin={cin} k={k} s={s} f={f}")
+        # non-divisible length exercises the fold tail padding
+        x2 = jax.random.normal(key, (1, 37, cin))
+        yf2 = folded.apply({"params": params}, x2)
+        yn2 = naive.apply({"params": params}, x2)
+        np.testing.assert_allclose(np.asarray(yf2), np.asarray(yn2),
+                                   atol=2e-4, rtol=1e-4,
+                                   err_msg=f"tail cin={cin} k={k} s={s} f={f}")

@@ -168,3 +168,50 @@ def test_gpt_trainer_data_parallel(workspace, capsys, monkeypatch):
     resp = GPTTrain(params).train()
     assert resp.ok, resp.message
     assert resp.data["model_path"].endswith("tinygptdp-e1.ckpt")
+
+
+def test_gpt_trainer_dp_x_tp(workspace, capsys, monkeypatch):
+    """EASEVOICE_TP wires parallel/gpt_sharding into the production GPT
+    trainer: params placed per shard-class PartitionSpec on a
+    data=2 x model=2 mesh, whole run (resume export included) under
+    dp x tp."""
+    norm, project = workspace
+    monkeypatch.setenv("EASEVOICE_DP", "2")
+    monkeypatch.setenv("EASEVOICE_TP", "2")
+    from easevoice_trainer_tpu.train.gpt import GPTTrain, GPTTrainParams
+
+    params = GPTTrainParams(
+        batch_size=2, total_epochs=1, save_every_epoch=1, model_path="/none",
+        train_input_dir=norm, output_model_name="tinygpttp",
+        project_dir=project)
+    resp = GPTTrain(params).train()
+    assert resp.ok, resp.message
+    assert resp.data["model_path"].endswith("tinygpttp-e1.ckpt")
+    obj = torch.load(resp.data["model_path"], map_location="cpu",
+                     weights_only=False)
+    assert set(obj) >= {"weight", "config", "info"}
+    out = capsys.readouterr().out
+    assert "loss-of-easevoice" in out
+
+
+def test_train_mesh_env_combinations(monkeypatch):
+    from easevoice_trainer_tpu import parallel
+
+    monkeypatch.setenv("EASEVOICE_DP", "2")
+    monkeypatch.setenv("EASEVOICE_TP", "2")
+    mesh = parallel.train_mesh()
+    assert mesh.shape["data"] == 2 and mesh.shape["model"] == 2
+    # TP=1 falls back to the pure-DP path
+    monkeypatch.setenv("EASEVOICE_TP", "1")
+    mesh = parallel.train_mesh()
+    assert mesh.shape["data"] == 2 and mesh.shape["model"] == 1
+    # DP=off keeps a model-only mesh
+    monkeypatch.setenv("EASEVOICE_DP", "off")
+    monkeypatch.setenv("EASEVOICE_TP", "4")
+    mesh = parallel.train_mesh()
+    assert mesh.shape["data"] == 1 and mesh.shape["model"] == 4
+    # auto dp soaks up the remaining devices (8 virtual / tp2 -> dp4)
+    monkeypatch.setenv("EASEVOICE_DP", "auto")
+    monkeypatch.setenv("EASEVOICE_TP", "2")
+    mesh = parallel.train_mesh()
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
