@@ -315,9 +315,32 @@ class AudioService:
                 return lambda path: model.generate(input=path)[0]["text"]
         except Exception:
             pass
-        # TPU-native fallback for every backend: the JAX Whisper
-        # (audiokit/asr_whisper.py) fed by an HF checkpoint directory.
+        # TPU-native fallbacks: the JAX Paraformer for zh (the reference's
+        # default zh backend is FunASR paraformer-large,
+        # src/audiokit/asr/asr.py:15-66), then the JAX Whisper for
+        # everything (audiokit/asr_whisper.py).
+        if language == "zh":
+            recognize = AudioService._load_paraformer_jax()
+            if recognize is not None:
+                return recognize
         return AudioService._load_whisper_jax(language)
+
+    @staticmethod
+    def _load_paraformer_jax():
+        from ..utils import paths
+
+        model_dir = os.environ.get("EASEVOICE_PARAFORMER_DIR") or os.path.join(
+            paths.get_base_path(), "models", "asr", "paraformer-zh")
+        try:
+            from ..audiokit.asr_paraformer import ParaformerASR
+
+            asr = ParaformerASR(model_dir)
+            if asr.available:
+                return asr.transcribe
+        except Exception:
+            logger.error("paraformer-jax load failed\n%s",
+                         traceback.format_exc())
+        return None
 
     @staticmethod
     def _load_whisper_jax(language: str):

@@ -70,6 +70,15 @@ MANIFEST = {
          "asr/whisper-small/pytorch_model.bin"),
         ("openai/whisper-small", "tokenizer.json",
          "asr/whisper-small/tokenizer.json"),
+        # zh Paraformer (audiokit/asr_paraformer.py) — funasr's HF mirror
+        # of the modelscope repo the reference uses
+        # (iic/speech_paraformer-large_asr_nat-zh-cn-16k-common-vocab8404)
+        ("funasr/paraformer-zh", "model.pt", "asr/paraformer-zh/model.pt"),
+        ("funasr/paraformer-zh", "config.yaml",
+         "asr/paraformer-zh/config.yaml"),
+        ("funasr/paraformer-zh", "am.mvn", "asr/paraformer-zh/am.mvn"),
+        ("funasr/paraformer-zh", "tokens.json",
+         "asr/paraformer-zh/tokens.json"),
     ],
 }
 
