@@ -55,6 +55,28 @@ def bench(fn, *args, n=20):
     return best * 1e3
 
 
+def bench_inloop(step, x, *rest, n=50):
+    """Time with the iteration INSIDE one jit: the axon tunnel adds
+    ~4-9 ms dispatch latency per jitted call, which swamps ~10 ms
+    kernels when timed call-by-call.  `step` must map x -> same-shape x
+    (weights closed over via *rest)."""
+    from jax import lax
+
+    @jax.jit
+    def loop(x0, *r):
+        return lax.fori_loop(0, n, lambda i, c: step(c, *r), x0)
+
+    jax.block_until_ready(loop(x, *rest))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = loop(x, *rest)
+        jax.block_until_ready(out)
+        np.asarray(jax.tree.leaves(out)[0][0, 0])
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best * 1e3
+
+
 def main():
     fwd_only = "--fwd-only" in sys.argv
     rng = np.random.default_rng(0)
@@ -81,8 +103,15 @@ def main():
         yf = np.asarray(f_fused(x, wcat, bcat), np.float32)
         yr = np.asarray(f_ref(x, wcat, bcat), np.float32)
         err = np.max(np.abs(yf - yr)) / max(1e-6, np.max(np.abs(yr)))
-        ms_f = bench(f_fused, x, wcat, bcat)
-        ms_r = bench(f_ref, x, wcat, bcat)
+        if "--inloop" in sys.argv:
+            ms_f = bench_inloop(
+                lambda a, w, b: mrf_stage(a, w, b, spec, False), x, wcat, bcat)
+            ms_r = bench_inloop(
+                lambda a, w, b: mrf_stage_reference(a, w, b, spec),
+                x, wcat, bcat)
+        else:
+            ms_f = bench(f_fused, x, wcat, bcat)
+            ms_r = bench(f_ref, x, wcat, bcat)
         line = (f"{name}: fwd fused {ms_f:7.3f} ms vs xla {ms_r:7.3f} ms "
                 f"({ms_r / ms_f:4.2f}x)  rel_err {err:.2e}")
 
@@ -95,8 +124,19 @@ def main():
                 lambda a, w, b: jnp.sum(
                     (mrf_stage_reference(a, w, b, spec) * ct).astype(jnp.float32)),
                 argnums=(0, 1, 2)))
-            gms_f = bench(g_fused, x, wcat, bcat)
-            gms_r = bench(g_ref, x, wcat, bcat)
+            if "--inloop" in sys.argv:
+                def gstep(g):
+                    # keep dW/db alive (sums are negligible) so XLA can't
+                    # DCE the weight-grad computation inside the loop
+                    def step(a, w, b):
+                        ga, gw, gb = g(a, w, b)
+                        return ga + (jnp.sum(gw) + jnp.sum(gb)).astype(ga.dtype)
+                    return step
+                gms_f = bench_inloop(gstep(g_fused), x, wcat, bcat)
+                gms_r = bench_inloop(gstep(g_ref), x, wcat, bcat)
+            else:
+                gms_f = bench(g_fused, x, wcat, bcat)
+                gms_r = bench(g_ref, x, wcat, bcat)
             gf = g_fused(x, wcat, bcat)
             gr = g_ref(x, wcat, bcat)
             gerr = max(

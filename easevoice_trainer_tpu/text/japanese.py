@@ -12,10 +12,14 @@ Without pyopenjtalk this module falls back to a vendored pipeline:
   unknown kanji are dropped with a log line);
 * kana→phoneme with youon digraphs (きゃ→ky a), sokuon→q, hatsuon→N,
   long vowels (ー and お+う) collapsed to the repeated vowel;
-* a default-accent (heiban/0-type) prosody contour: '[' rise after the
-  first mora of each accent phrase.  True accent positions need the
-  OpenJTalk dictionary; this fallback keeps the output format while
-  defaulting the contour (documented approximation).
+* accent-phrase segmentation (particles close a phrase, auxiliaries
+  like です/ます attach) with a curated Tokyo pitch-accent table
+  (``data/ja_accents.json``); each phrase emits the same contour marks
+  the reference derives from full-context labels (espnet rules,
+  reference japanese.py:195-213): '[' rise after the first mora,
+  ']' fall after the accent-nucleus mora, '#' at phrase borders.
+  Words absent from the accent table default to heiban (0-type) — the
+  pre-accent fallback behavior, now only for unknown vocabulary.
 """
 from __future__ import annotations
 
@@ -198,19 +202,162 @@ def _kana_phones(kana: str) -> List[List[str]]:
     return moras
 
 
+@lru_cache(maxsize=1)
+def _accents():
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "data", "ja_accents.json"),
+              encoding="utf-8") as fp:
+        return json.load(fp)
+
+
+# particles close an accent phrase when they follow dictionary-derived
+# content; を is a pure particle in modern Japanese and always closes
+_PARTICLES = set("はがをにでともへやのねよ")
+_PARTICLE_READS = {"は": "わ", "へ": "え"}
+# espnet emits '#' only after vowel/N/cl phones (reference japanese.py:206)
+_BORDER_OK = {"a", "i", "u", "e", "o", "N", "q"}
+
+
+def _phrase_split(sentence: str) -> List[tuple]:
+    """Segment into accent phrases -> [(kana, accent_type_or_None)].
+
+    Words (kanji surface or phrase-initial kana) carry accents from
+    ja_accents.json; auxiliaries attach, shifting a heiban phrase's
+    nucleus by their relative accent; particles close the phrase.
+    """
+    data = _readings()
+    acc = _accents()
+    words, on, kun = data["words"], data["on"], data["kun"]
+    wacc, kacc, aux = acc["words"], acc["kana"], acc["aux"]
+    max_w = max(len(w) for w in words)
+    max_k = max(len(w) for w in kacc)
+    max_a = max(len(w) for w in aux)
+
+    phrases: List[tuple] = []
+    cur, cur_acc = "", None
+    from_dict = False      # current phrase content came from a word table
+    closed = True          # next content starts a new phrase
+
+    def close():
+        nonlocal cur, cur_acc, from_dict
+        if cur:
+            phrases.append((cur, cur_acc))
+        cur, cur_acc, from_dict = "", None, False
+
+    i, n = 0, len(sentence)
+    while i < n:
+        # kanji-surface word
+        matched = False
+        for ln in range(min(max_w, n - i), 1, -1):
+            cand = sentence[i:i + ln]
+            if cand in words:
+                close()
+                cur, cur_acc = words[cand], wacc.get(cand)
+                from_dict, closed = True, False
+                i += ln
+                matched = True
+                break
+        if matched:
+            continue
+        ch = sentence[i]
+        if _KANJI.match(ch):
+            if ch in words:
+                close()
+                cur, cur_acc = words[ch], wacc.get(ch)
+                from_dict, closed = True, False
+                i += 1
+                continue
+            # bare kanji run: length >= 2 -> on readings, single -> kun
+            j = i
+            while j < n and _KANJI.match(sentence[j]):
+                j += 1
+            run = sentence[i:j]
+            table = on if len(run) >= 2 else kun
+            reading = ""
+            for k in run:
+                r = table.get(k) or on.get(k) or kun.get(k)
+                if r:
+                    reading += r
+                else:
+                    logger.debug("ja fallback: unknown kanji %r dropped", k)
+            if reading:
+                close()
+                cur, cur_acc, from_dict, closed = reading, None, True, False
+            i = j
+            continue
+        # auxiliary attaching to a non-empty phrase (です/ます/さん ...)
+        if cur:
+            amatch = None
+            for ln in range(min(max_a, n - i), 0, -1):
+                cand = _kata_to_hira(sentence[i:i + ln])
+                if cand in aux:
+                    amatch = cand
+                    break
+            if amatch is not None:
+                a = aux[amatch]
+                if a and cur_acc in (None, 0):
+                    cur_acc = len(_kana_phones(cur)) + a
+                cur += amatch
+                from_dict = True
+                i += len(amatch)
+                continue
+        # kana-spelled word at phrase start
+        if closed or not cur:
+            kmatch = None
+            for ln in range(min(max_k, n - i), 1, -1):
+                cand = _kata_to_hira(sentence[i:i + ln])
+                if cand in kacc:
+                    kmatch = cand
+                    break
+            if kmatch is not None:
+                close()
+                reading, a = kacc[kmatch]
+                cur, cur_acc, from_dict, closed = reading, a, True, False
+                i += len(kmatch)
+                continue
+        h = _kata_to_hira(ch)
+        # particle closes the phrase (after dictionary words; を always)
+        if cur and not closed and h in _PARTICLES and (from_dict or h == "を"):
+            cur += _PARTICLE_READS.get(h, h)
+            close()
+            closed = True
+            i += 1
+            continue
+        cur += h
+        i += 1
+    close()
+    return phrases
+
+
 def _fallback_sentence(sentence: str) -> List[str]:
-    kana = _kata_to_hira(kanji_to_kana(sentence))
-    # topic particles at phrase end read わ/え (こんにちは -> konnichiwa)
-    if kana.endswith("は"):
-        kana = kana[:-1] + "わ"
-    elif kana.endswith("へ"):
-        kana = kana[:-1] + "え"
-    moras = _kana_phones(kana)
+    phrases = _phrase_split(sentence)
     phones: List[str] = []
-    for k, mora in enumerate(moras):
-        phones += mora
-        if k == 0 and len(moras) > 1:
-            phones.append("[")              # default heiban rise
+    for pi, (kana, accent) in enumerate(phrases):
+        if pi == len(phrases) - 1:
+            # final topic particle reads わ/え (こんにちは -> konnichiwa)
+            if kana.endswith("は"):
+                kana = kana[:-1] + "わ"
+            elif kana.endswith("へ"):
+                kana = kana[:-1] + "え"
+        moras = _kana_phones(kana)
+        if not moras:
+            continue
+        M = len(moras)
+        A = accent or 0
+        if A > M:
+            A = 0
+        last_phrase = pi == len(phrases) - 1
+        # espnet contour rules (reference japanese.py:204-213): border
+        # first, then nucleus fall (not phrase-final), then initial rise
+        for k, mora in enumerate(moras, 1):
+            phones += mora
+            if k == M:
+                if not last_phrase and phones and phones[-1] in _BORDER_OK:
+                    phones.append("#")
+            elif k == A:
+                phones.append("]")
+            elif k == 1 and A != 1:
+                phones.append("[")
     return phones
 
 

@@ -1,7 +1,9 @@
 """Japanese G2P fallback: kanji readings, youon, prosody format
 (reference behavior: src/easevoice/text/japanese.py:109-236; the
 pyopenjtalk path needs the OpenJTalk dictionary, absent here — the
-fallback keeps the same output format with a default accent contour)."""
+fallback keeps the same output format with accent-phrase segmentation
+and a curated Tokyo pitch-accent table, defaulting unknown words to
+heiban)."""
 import pytest
 
 from easevoice_trainer_tpu.text import japanese
@@ -11,43 +13,71 @@ from easevoice_trainer_tpu.text.symbols import SYMBOLS
 
 def test_kana_with_prosody_format():
     # same segmentation/anchor-stripping as the reference preprocess_jap:
-    # phones start at the first mora, '[' rise after it, marks appended
+    # phones start at the first mora, marks appended.  こんにちは is
+    # odaka (5): rise after mora 1, no internal fall
     assert japanese.g2p("こんにちは！") == [
         "k", "o", "[", "N", "n", "i", "ch", "i", "w", "a", "!"]
 
 
 def test_kanji_words_and_compounds():
-    # jukujikun word, on-compound, kun single, long vowels
-    assert japanese.g2p("今日") == ["ky", "o", "[", "o"]
+    # jukujikun word with atamadaka accent: きょ↘う (type 1 -> ']'
+    # after the first mora, no rise — espnet rule order)
+    assert japanese.g2p("今日") == ["ky", "o", "]", "o"]
     ph = japanese.g2p("日本語を勉強しています。")
     assert ph[:2] == ["n", "i"] and "N" in ph and ph[-1] == "."
-    # single kanji takes the kun reading
-    assert japanese.g2p("水")[:2] == ["m", "i"]  # みず
+    # single kanji takes the kun reading (みず, heiban -> rise)
+    assert japanese.g2p("水")[:3] == ["m", "i", "["]
 
 
 def test_inflected_adjective_resolves_via_stem():
     ph = japanese.g2p("楽しかった")
-    # たのしかった -> t a n o sh i k a q t a (plus the rise mark)
+    # たのしかった -> t a n o sh i k a q t a (plus contour marks)
     assert "q" in ph and ph[0] == "t" and "sh" in ph
 
 
 def test_topic_particle_wa():
-    assert japanese.g2p("今日はいい天気です。")[:5] == [
-        "ky", "o", "[", "o", "w"]
-    assert japanese.g2p("お母さんは優しい。")[:1] == ["o"]
+    # 今日(1)+は one accent phrase: ky o ] o w a
+    assert japanese.g2p("今日はいい天気です。")[:6] == [
+        "ky", "o", "]", "o", "w", "a"]
     ph = japanese.g2p("お母さんは優しい。")
+    assert ph[0] == "o"
     assert "w" in ph and "h" not in ph  # んは -> んわ
 
 
 def test_katakana_and_long_vowel():
+    # 東京 (heiban) with the katakana run attached to the same phrase
     ph = japanese.g2p("東京タワー")
     assert ph == ["t", "o", "[", "o", "ky", "o", "o", "t", "a", "w", "a",
                   "a"]
 
 
 def test_youon_and_sokuon():
+    # unknown kana words default to heiban (previous fallback contour)
     assert japanese.g2p("きっぷ") == ["k", "i", "[", "q", "p", "u"]
     assert japanese.g2p("しゃしん") == ["sh", "a", "[", "sh", "i", "N"]
+
+
+def test_accent_contours():
+    # nakadaka noun: おか↘あさん (accent 2) — rise then fall
+    ph = japanese.g2p("お母さん")
+    assert ph == ["o", "[", "k", "a", "]", "a", "s", "a", "N"]
+    # accent phrase border '#' between phrases (same mark the reference
+    # emits from full-context labels; cleaner maps it to UNK like the
+    # reference clean_text does)
+    ph = japanese.g2p("私の名前")
+    assert "#" in ph
+    # copula attaches and shifts a heiban phrase's nucleus:
+    # 学生(0)+です -> がくせいで↘す (fall after で)
+    ph = japanese.g2p("学生です")
+    assert ph == ["g", "a", "[", "k", "u", "s", "e", "i", "d", "e", "]",
+                  "s", "u"]
+    # accented word keeps its nucleus through attached aux:
+    # 綺麗(1)+です -> き↘れいです
+    ph = japanese.g2p("綺麗です")
+    assert ph == ["k", "i", "]", "r", "e", "i", "d", "e", "s", "u"]
+    # ましょう ending: いきましょ↘う
+    ph = japanese.g2p("行きましょう")
+    assert ph == ["i", "[", "k", "i", "m", "a", "sh", "o", "]", "o"]
 
 
 def test_clean_text_ja_inventory():
