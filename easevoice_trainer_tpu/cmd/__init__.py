@@ -9,8 +9,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import traceback
 from typing import Any, Callable, Dict
+
+# honor JAX_PLATFORMS in subprocesses: with an out-of-tree TPU plugin
+# installed the env var alone is ignored at backend init, so a child told
+# to run on CPU would still try (and possibly hang) initializing the TPU
+# plugin — the config update is honored (same workaround as
+# tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from ..utils.connector import MultiProcessOutputConnector
 from ..utils.logger import logger

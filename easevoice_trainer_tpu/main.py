@@ -7,6 +7,14 @@ from __future__ import annotations
 
 import argparse
 import asyncio
+import os as _os
+
+# honor JAX_PLATFORMS before anything can initialize a jax backend (with an
+# out-of-tree TPU plugin the env var alone is ignored; see cmd/__init__.py)
+if _os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
 
 from aiohttp import web
 
