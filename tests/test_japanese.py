@@ -84,3 +84,25 @@ def test_clean_text_ja_inventory():
     phones, word2ph, norm = clean_text("私は学校に行きます。", "ja")
     assert word2ph is None
     assert phones and all(p in SYMBOLS for p in phones)
+
+
+def test_fallback_fuzz_never_crashes(rng):
+    """Random kana/kanji/punct mixtures: g2p must return a list and the
+    cleaner must map every phone into the symbol inventory."""
+    pools = (
+        [chr(c) for c in range(0x3041, 0x3097)],          # hiragana
+        [chr(c) for c in range(0x30A1, 0x30F7)],          # katakana
+        list("今日天気学校先生行楽海山猫犬雨空電車時間鬱彁"),  # kanji (+rare)
+        list("。、！？…ー っゃゅょabcABC123"),
+    )
+    def pick():
+        pool = pools[int(rng.integers(0, len(pools)))]
+        return pool[int(rng.integers(0, len(pool)))]
+
+    for _ in range(40):
+        n = int(rng.integers(1, 24))
+        s = "".join(pick() for _ in range(n))
+        ph = japanese.g2p(japanese.text_normalize(s))
+        assert isinstance(ph, list)
+        cleaned, w2p, _ = clean_text(s, "ja")
+        assert all(p in SYMBOLS for p in cleaned)
