@@ -327,20 +327,60 @@ class AudioService:
 
     @staticmethod
     def _load_paraformer_jax():
+        """zh chain mirroring the reference FunASR pipeline
+        (src/audiokit/asr/asr.py:15-43): fsmn-VAD segmentation ->
+        Paraformer transcription -> CT-Transformer punctuation.  VAD and
+        punc degrade independently when their checkpoints are absent."""
         from ..utils import paths
 
+        base = paths.get_base_path()
         model_dir = os.environ.get("EASEVOICE_PARAFORMER_DIR") or os.path.join(
-            paths.get_base_path(), "models", "asr", "paraformer-zh")
+            base, "models", "asr", "paraformer-zh")
         try:
-            from ..audiokit.asr_paraformer import ParaformerASR
+            from ..audiokit.asr_paraformer import (SAMPLE_RATE, ParaformerASR)
 
             asr = ParaformerASR(model_dir)
-            if asr.available:
-                return asr.transcribe
+            if not asr.available:
+                return None
         except Exception:
             logger.error("paraformer-jax load failed\n%s",
                          traceback.format_exc())
-        return None
+            return None
+
+        vad = punc = None
+        try:
+            from ..audiokit.vad_fsmn import FsmnVAD
+
+            vad_dir = os.environ.get("EASEVOICE_VAD_DIR") or os.path.join(
+                base, "models", "asr", "fsmn-vad")
+            cand = FsmnVAD(vad_dir)
+            vad = cand if cand.available else None
+        except Exception:
+            logger.error("fsmn-vad load failed\n%s", traceback.format_exc())
+        try:
+            from ..audiokit.punc_ct import CTPunc
+
+            punc_dir = os.environ.get("EASEVOICE_PUNC_DIR") or os.path.join(
+                base, "models", "asr", "ct-punc")
+            cand = CTPunc(punc_dir)
+            punc = cand if cand.available else None
+        except Exception:
+            logger.error("ct-punc load failed\n%s", traceback.format_exc())
+
+        def recognize(path: str) -> str:
+            from ..utils import audio_io
+
+            wav = audio_io.load_audio(path, SAMPLE_RATE, mono=True)
+            if vad is not None:
+                segs = vad.segments(wav)
+                text = "".join(asr.transcribe(wav[s:e]) for s, e in segs)
+            else:
+                text = asr.transcribe(wav)
+            if punc is not None and text:
+                text = punc.restore(text)
+            return text
+
+        return recognize
 
     @staticmethod
     def _load_whisper_jax(language: str):

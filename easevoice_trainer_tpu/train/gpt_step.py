@@ -26,6 +26,7 @@ import optax
 from ..models.gpt import Text2SemanticDecoder
 from ..parallel.gpt_sharding import gpt_arena_label
 from . import arena as arena_mod
+from .optim_lowp import moment_dtype
 from .scaled_adam import scaled_adam
 
 
@@ -88,7 +89,8 @@ def make_optimizer(hp: GPTTrainHP) -> optax.GradientTransformation:
         learning_rate=warmup_cosine_schedule(hp),
         b1=hp.betas[0], b2=hp.betas[1],
         clipping_scale=hp.clipping_scale,
-        rowwise=True)
+        rowwise=True,
+        state_dtype=moment_dtype())
     if hp.grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=hp.grad_accum)
     return tx

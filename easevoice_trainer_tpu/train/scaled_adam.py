@@ -63,15 +63,26 @@ def scaled_adam(
     clipping_scale: Optional[float] = 2.0,
     clipping_update_period: int = 1000,
     rowwise: bool = False,
+    state_dtype: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """``rowwise=True`` treats every leaf ``[n, *s]`` as a stack of ``n``
     independent tensors (the parameter-arena layout, train/arena.py): all
     per-tensor reductions (param RMS, scale grads, size update) run along
     axes 1.. so the update on row ``i`` equals the per-leaf update on the
-    unstacked tensor — same math, ~leaf-count/78 fewer kernels."""
+    unstacked tensor — same math, ~leaf-count/78 fewer kernels.
+
+    ``state_dtype`` stores the two full-size state tensors (``exp_avg_sq``
+    and ``delta``) in that dtype (bf16 halves optimizer traffic on a
+    bytes-bound step, docs/PERF.md); the update math stays fp32 — state is
+    upcast on read and re-rounded on store, exactly the
+    ``train/optim_lowp.py`` scheme.  ``None`` keeps fp32 storage
+    (trajectory-parity-exact vs the reference torch implementation).  The
+    small per-tensor scalars (param_rms, scale state, clip ring) always
+    stay fp32."""
 
     period = clipping_update_period
     K = size_update_period
+    sdt = jnp.float32 if state_dtype is None else state_dtype
 
     def lr_at(count):
         if callable(learning_rate):
@@ -94,7 +105,7 @@ def scaled_adam(
         return s.reshape(s.shape + (1,) * (p.ndim - 1))
 
     def init_fn(params):
-        zeros_like = lambda p: jnp.zeros_like(p, jnp.float32)
+        zeros_like = lambda p: jnp.zeros_like(p, sdt)
         if rowwise:
             scalar_zero = lambda p: jnp.zeros((p.shape[0],), jnp.float32)
             k_zeros = lambda p: jnp.zeros((p.shape[0], K), jnp.float32)
@@ -160,7 +171,8 @@ def scaled_adam(
         def leaf_update(p, g, v, d, rms, s_v, sgrads):
             g_raw = g.astype(jnp.float32)
             p32 = p.astype(jnp.float32)
-            d = b1 * d
+            v = v.astype(jnp.float32)           # state math is always fp32
+            d = b1 * d.astype(jnp.float32)
 
             if _is_scalar(p):
                 # optim.py:601-622 — plain Adam at scalar lr, pre-clamped p
@@ -212,8 +224,8 @@ def scaled_adam(
         treedef = jax.tree_util.tree_structure(params)
         leaves = treedef.flatten_up_to(results)
         new_p = treedef.unflatten([l[0] for l in leaves])
-        new_v = treedef.unflatten([l[1] for l in leaves])
-        new_d = treedef.unflatten([l[2] for l in leaves])
+        new_v = treedef.unflatten([l[1].astype(sdt) for l in leaves])
+        new_d = treedef.unflatten([l[2].astype(sdt) for l in leaves])
         new_rms = treedef.unflatten([l[3] for l in leaves])
         new_sv = treedef.unflatten([l[4] for l in leaves])
         new_sg = treedef.unflatten([l[5] for l in leaves])

@@ -61,6 +61,50 @@ def test_lowp_state_dtype():
                                rtol=1e-5, atol=1e-8)
 
 
+def test_scaled_adam_lowp_trajectory_close_to_fp32():
+    """bf16-state ScaledAdam (s1 GPT optimizer) stays on the fp32 path.
+
+    Same documented-numerics bound as the AdamW variant: exp_avg_sq and
+    delta are re-rounded to bf16 each step, math in fp32."""
+    from easevoice_trainer_tpu.train.scaled_adam import scaled_adam
+
+    rng = np.random.default_rng(1)
+    params = {
+        "w": jnp.asarray(rng.normal(size=(32, 48)).astype(np.float32)) * 0.1,
+        "b": jnp.asarray(rng.normal(size=(48,)).astype(np.float32)) * 0.1,
+    }
+    grads_seq = [
+        {"w": jnp.asarray(rng.normal(size=(32, 48)).astype(np.float32)) * 0.1,
+         "b": jnp.asarray(rng.normal(size=(48,)).astype(np.float32)) * 0.1}
+        for _ in range(60)
+    ]
+    kw = dict(learning_rate=2e-3, b1=0.9, b2=0.95, clipping_scale=2.0,
+              clipping_update_period=20, size_update_period=4)
+    ref = _run(scaled_adam(**kw), dict(params), grads_seq)
+    lowp = _run(scaled_adam(**kw, state_dtype=jnp.bfloat16),
+                dict(params), grads_seq)
+    for k in params:
+        move = float(jnp.abs(ref[k] - params[k]).max())
+        drift = float(jnp.abs(ref[k] - lowp[k]).max())
+        assert drift < 0.02 * max(move, 1e-6), (k, drift, move)
+
+
+def test_scaled_adam_lowp_state_dtype():
+    from easevoice_trainer_tpu.train.scaled_adam import scaled_adam
+
+    params = {"w": jnp.ones((8, 8), jnp.float32)}
+    tx = scaled_adam(learning_rate=2e-3, state_dtype=jnp.bfloat16)
+    state = tx.init(params)
+    assert state.exp_avg_sq["w"].dtype == jnp.bfloat16
+    assert state.delta["w"].dtype == jnp.bfloat16
+    # small per-tensor scalars stay fp32
+    assert state.param_rms["w"].dtype == jnp.float32
+    g = {"w": jnp.full((8, 8), 0.1, jnp.float32)}
+    _, new_state = tx.update(g, state, params)
+    assert new_state.exp_avg_sq["w"].dtype == jnp.bfloat16
+    assert new_state.delta["w"].dtype == jnp.bfloat16
+
+
 def test_fp32_env_fallback(monkeypatch):
     """EASEVOICE_OPT_STATE=fp32 restores stock optax.adamw exactly."""
     monkeypatch.setenv("EASEVOICE_OPT_STATE", "fp32")

@@ -79,6 +79,16 @@ MANIFEST = {
         ("funasr/paraformer-zh", "am.mvn", "asr/paraformer-zh/am.mvn"),
         ("funasr/paraformer-zh", "tokens.json",
          "asr/paraformer-zh/tokens.json"),
+        # zh VAD + punctuation (audiokit/vad_fsmn.py, audiokit/punc_ct.py) —
+        # funasr's HF mirrors of the modelscope repos the reference uses
+        # (iic/speech_fsmn_vad_zh-cn-16k-common-pytorch,
+        #  iic/punc_ct-transformer_zh-cn-common-vocab272727-pytorch)
+        ("funasr/fsmn-vad", "model.pt", "asr/fsmn-vad/model.pt"),
+        ("funasr/fsmn-vad", "config.yaml", "asr/fsmn-vad/config.yaml"),
+        ("funasr/fsmn-vad", "am.mvn", "asr/fsmn-vad/am.mvn"),
+        ("funasr/ct-punc", "model.pt", "asr/ct-punc/model.pt"),
+        ("funasr/ct-punc", "config.yaml", "asr/ct-punc/config.yaml"),
+        ("funasr/ct-punc", "tokens.json", "asr/ct-punc/tokens.json"),
     ],
 }
 
