@@ -87,7 +87,20 @@ def main():
         ("s3 C=64  f=2", 5120, 128, folded_defs(2)),
         ("s4 C=32  f=4", 5120, 128, folded_defs(4)),
     ]
+    only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--cases=")]
+    if only:
+        keep = only[0].split(",")
+        cases = [c for c in cases if any(k in c[0] for k in keep)]
     for name, t, cf, defs in cases:
+        try:
+            run_case(name, t, cf, defs, rng, fwd_only)
+        except Exception as exc:  # compile OOM etc. — keep racing the rest
+            print(f"{name}: FAILED {type(exc).__name__}: {str(exc)[:200]}",
+                  flush=True)
+
+
+def run_case(name, t, cf, defs, rng, fwd_only):
+    if True:
         spec = build_stage_spec(defs)
         wcat = jnp.asarray(
             rng.normal(0, 0.05, size=(spec.n_taps, cf, cf)), jnp.bfloat16)
@@ -114,6 +127,8 @@ def main():
             ms_r = bench(f_ref, x, wcat, bcat)
         line = (f"{name}: fwd fused {ms_f:7.3f} ms vs xla {ms_r:7.3f} ms "
                 f"({ms_r / ms_f:4.2f}x)  rel_err {err:.2e}")
+        print(line, flush=True)
+        line = " " * len(name)
 
         if not fwd_only:
             g_fused = jax.jit(jax.grad(

@@ -142,7 +142,11 @@ class Generator(nn.Module):
                           self.resblock_kernel_sizes,
                           self.resblock_dilation_sizes))]
             on_tpu = jax.default_backend() == "tpu"
-            if (self.fused_mrf and ch * fold <= 256
+            # lanes capped at 128: the C=256 unfolded stage's backward
+            # kernel needs a (126,256,256) f32 dW accumulator + ~100 MB of
+            # live (T,C) recompute temporaries and exceeds v5e VMEM
+            # (measured: "Used 190.30M of 128.00M vmem")
+            if (self.fused_mrf and ch * fold <= 128
                     and x.shape[1] % fold == 0
                     and (on_tpu or self.fused_mrf == "force")):
                 x = _fused_stage(x, [b(x, emit="folded") for b in blocks],
