@@ -1,3 +1,4 @@
+from . import distributed
 from .mesh import (
     make_mesh,
     batch_sharding,

@@ -143,6 +143,11 @@ class GPTTrain:
 
     def train(self) -> EaseVoiceResponse:
         t0 = time.time()
+        # multi-host bootstrap first (no-op single-host); see
+        # parallel/distributed.py (reference: src/train/gpt.py:154-156)
+        from ..parallel import distributed
+
+        distributed.maybe_initialize()
         dataset = data_mod.GPTDataset(self.params.train_input_dir,
                                       max_sec=self.max_sec)
         batcher = data_mod.BucketBatcher(
@@ -195,19 +200,16 @@ class GPTTrain:
                         parallel.model_parallel_size(mesh))
             if parallel.model_parallel_size(mesh) > 1:
                 from ..parallel.gpt_sharding import gpt_packed_specs
-                from jax.sharding import NamedSharding
 
                 pspecs = gpt_packed_specs(state.arena)
-                rep = parallel.replicated_sharding(mesh)
                 state = state.replace(
-                    params={k: jax.device_put(v, NamedSharding(mesh,
-                                                               pspecs[k]))
+                    params={k: distributed.place_global(v, mesh, pspecs[k])
                             for k, v in state.params.items()},
-                    opt_state=jax.device_put(state.opt_state, rep),
-                    step=jax.device_put(state.step, rep))
+                    opt_state=distributed.replicate_global(
+                        state.opt_state, mesh),
+                    step=distributed.replicate_global(state.step, mesh))
             else:
-                state = jax.device_put(state,
-                                       parallel.replicated_sharding(mesh))
+                state = distributed.replicate_global(state, mesh)
         else:
             state = jax.device_put(state, jax.devices()[0])
         step_fn = jax.jit(gpt_step.make_train_step(model, self.hp),
@@ -221,6 +223,8 @@ class GPTTrain:
                 if mesh is not None:
                     idxs = parallel.wrap_pad_indices(
                         idxs, parallel.local_batch_multiple(mesh))
+                    idxs = [idxs[r] for r in
+                            distributed.process_local_rows(len(idxs), mesh)]
                 batch = data_mod.collate_gpt(
                     [dataset.load_item(i) for i in idxs], max_ph,
                     _round_up(batcher.padded_frames(bucket_id), 2))
@@ -234,7 +238,7 @@ class GPTTrain:
                     batch["reject_semantic_ids"] = rej
                     batch["reject_semantic_ids_len"] = rej_lens
                 if mesh is not None:
-                    batch = parallel.shard_batch(batch, mesh)
+                    batch = distributed.shard_batch_global(batch, mesh)
                 rng = jax.random.fold_in(rng_mod.fast_key(self.seed),
                                          global_step)
                 state, metrics = step_fn(state, batch, rng)
@@ -249,17 +253,19 @@ class GPTTrain:
                         for k, v in last.items():
                             writer.add_scalar(k, v, global_step)
 
-            if (epoch % self.params.save_every_epoch == 0
-                    or epoch == self.epochs):
+            if ((epoch % self.params.save_every_epoch == 0
+                    or epoch == self.epochs) and distributed.is_primary()):
                 host = jax.device_get(state)
                 self._save_resume(host, epoch)
                 if self.params.if_save_every_weights:
                     self._export_weights(host, epoch)
-            self.connector.write_session_data(
-                {"progress": f"{epoch}/{self.epochs}", "epoch": epoch})
+            if distributed.is_primary():
+                self.connector.write_session_data(
+                    {"progress": f"{epoch}/{self.epochs}", "epoch": epoch})
 
         host = jax.device_get(state)
-        final = self._export_weights(host, self.epochs)
+        final = self._export_weights(host, self.epochs) \
+            if distributed.is_primary() else ""
         if writer:
             writer.close()
         return EaseVoiceResponse(

@@ -180,6 +180,12 @@ class SovitsTrain:
 
     def train(self) -> EaseVoiceResponse:
         t_start = time.time()
+        # join the multi-host world first (no-op single-host): afterwards
+        # jax.devices() is global and the data mesh spans hosts
+        # (reference DDP bootstrap: src/train/sovits.py:219-224)
+        from ..parallel import distributed
+
+        distributed.maybe_initialize()
         dataset = data_mod.S2Dataset(
             self.params.train_input_dir, hop_length=self.mel_cfg.hop_length,
             sampling_rate=self.mel_cfg.sampling_rate,
@@ -222,7 +228,7 @@ class SovitsTrain:
         if mesh is not None:
             logger.info("data-parallel over %d devices",
                         parallel.local_batch_multiple(mesh))
-            state = jax.device_put(state, parallel.replicated_sharding(mesh))
+            state = distributed.replicate_global(state, mesh)
         else:
             state = jax.device_put(state, jax.devices()[0])
 
@@ -239,12 +245,16 @@ class SovitsTrain:
                 if mesh is not None:
                     idxs = parallel.wrap_pad_indices(
                         idxs, parallel.local_batch_multiple(mesh))
+                    # multi-host: load only the rows this host's devices
+                    # own (identity when single-process)
+                    idxs = [idxs[r] for r in
+                            distributed.process_local_rows(len(idxs), mesh)]
                 batch = data_mod.collate_s2(
                     [dataset.load_item(i) for i in idxs],
                     batcher.padded_frames(bucket_id), text_cap,
                     hop=self.mel_cfg.hop_length)
                 if mesh is not None:
-                    batch = parallel.shard_batch(batch, mesh)
+                    batch = distributed.shard_batch_global(batch, mesh)
                 rng = jax.random.fold_in(
                     rng_mod.fast_key(self.seed), global_step)
                 state, metrics = step_fn(state, batch, rng)
@@ -265,16 +275,19 @@ class SovitsTrain:
                     for k, v in vals.items():
                         writer.add_scalar(k, v, global_step)
 
-            if epoch % self.params.save_every_epoch == 0 or epoch == self.epochs:
+            if ((epoch % self.params.save_every_epoch == 0
+                 or epoch == self.epochs) and distributed.is_primary()):
                 host_state = jax.device_get(state)
                 self._save_resume(host_state, epoch)
                 if self.params.if_save_every_weights:
                     self._export_weights(host_state, epoch)
-            self.connector.write_session_data(
-                {"progress": f"{epoch}/{self.epochs}", "epoch": epoch})
+            if distributed.is_primary():
+                self.connector.write_session_data(
+                    {"progress": f"{epoch}/{self.epochs}", "epoch": epoch})
 
         host_state = jax.device_get(state)
-        final_path = self._export_weights(host_state, self.epochs)
+        final_path = self._export_weights(host_state, self.epochs) \
+            if distributed.is_primary() else ""
         if writer:
             writer.close()
         return EaseVoiceResponse(
