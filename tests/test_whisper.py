@@ -145,3 +145,43 @@ def test_whisper_asr_end_to_end(tiny_pair, tmp_path, rng):
     audio_io.write_wav(str(path), wav, 16000)
     text = asr.transcribe(str(path), "zh")
     assert isinstance(text, str)
+
+
+def test_whisper_yue_golden(tiny_pair):
+    """Regression anchor for the documented yue-ASR deviation.
+
+    The reference transcribes Cantonese with FunASR UniASR
+    (reference: src/audiokit/asr/asr.py:35-42, a TF1-era model with no
+    public torch weights); this framework substitutes the Whisper path
+    with the ``<|yue|>`` language token forced (docs/PARITY.md).  This
+    test pins BOTH halves of that substitution: (a) the forced decoder
+    prompt WhisperASR builds for ``language="yue"`` and (b) the greedy
+    decode of a fixed tiny model on a deterministic fixture clip, so any
+    drift in the yue path (prompt construction, frontend, decode loop)
+    fails here first.
+    """
+    _, cfg, (enc_p, dec_p, cross_p) = tiny_pair
+
+    class FakeTok:
+        def convert_tokens_to_ids(self, tok):
+            return {"<|startoftranscript|>": 1, "<|endoftext|>": 2,
+                    "<|transcribe|>": 3, "<|notimestamps|>": 4,
+                    "<|zh|>": 5, "<|yue|>": 6}.get(tok, -1)
+
+    asr = w.WhisperASR.__new__(w.WhisperASR)
+    asr.tokenizer = FakeTok()
+    forced = asr._forced("yue")
+    # sot, <|yue|>, <|transcribe|>, <|notimestamps|> — yue token present
+    assert forced.tolist() == [1, 6, 3, 4]
+
+    # deterministic "Cantonese clip" stand-in: two-tone 1 s chord
+    t = np.arange(16000) / 16000.0
+    wav = (0.3 * np.sin(2 * np.pi * 220 * t)
+           + 0.2 * np.sin(2 * np.pi * 587 * t)).astype(np.float32)
+    padded = np.zeros(w.CHUNK_SAMPLES, np.float32)
+    padded[:len(wav)] = wav
+    mel = w.log_mel_spectrogram(padded, cfg.n_mels)[None]
+    run = w.make_transcriber(cfg, enc_p, dec_p, cross_p, max_new=10)
+    tokens, n = run(np.asarray(mel), forced, 2)
+    out = np.asarray(tokens)[:int(n) + 1].tolist()
+    assert out == [94, 94, 197, 142, 142, 142, 142, 142, 142, 142]
