@@ -1,13 +1,13 @@
-"""Attribute the s2 train step's HBM traffic to model components.
+"""Attribute a train step's HBM traffic to model components.
 
-Compiles the production step (bench.py path), walks the optimized HLO's
-entry computation, and charges each top-level instruction its
-operands+output logical bytes — the same traffic model XLA's
-cost_analysis uses ("bytes accessed").  Buckets the totals by the JAX
-scope recorded in ``metadata op_name`` so the byte hogs are named after
-model submodules instead of ``fusion.1234``.
+Compiles the production step (bench.py s2 path, or the s1 GPT step with
+--gpt), walks the optimized HLO's entry computation, and charges each
+top-level instruction its operands+output logical bytes — the same
+traffic model XLA's cost_analysis uses ("bytes accessed").  Buckets the
+totals by the JAX scope recorded in ``metadata op_name`` so the byte
+hogs are named after model submodules instead of ``fusion.1234``.
 
-Usage: python benchmarks/hlo_bytes.py [batch] [frames] [out.txt]
+Usage: python benchmarks/hlo_bytes.py [batch] [frames|sem_len] [out.txt] [--gpt]
 """
 from __future__ import annotations
 
@@ -63,16 +63,23 @@ def main():
     import jax
 
     sys.path.insert(0, ".")
-    from bench import build
+    sys.path.insert(0, "benchmarks")
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-    out_path = sys.argv[3] if len(sys.argv) > 3 else "/tmp/s2_hlo.txt"
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    batch = int(pos[0]) if len(pos) > 0 else 8
+    frames = int(pos[1]) if len(pos) > 1 else 256
+    out_path = pos[2] if len(pos) > 2 else (
+        "/tmp/gpt_hlo.txt" if "--gpt" in sys.argv else "/tmp/s2_hlo.txt")
 
     if "--parse-only" in sys.argv:
         txt = open(out_path).read()
     else:
-        state, data, step = build(batch, frames)
+        if "--gpt" in sys.argv:
+            from profile_gpt import build as build_gpt
+            state, data, step = build_gpt(batch, frames)
+        else:
+            from bench import build
+            state, data, step = build(batch, frames)
         compiled = step.lower(state, data, jax.random.PRNGKey(0)).compile()
         txt = compiled.as_text()
         with open(out_path, "w") as f:

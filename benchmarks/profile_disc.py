@@ -29,11 +29,11 @@ def main():
 
     def timeit(name, fn, *args):
         out = fn(*args)
-        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+        jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
         print(f"{name:12s} {dt*1e3:9.2f} ms", flush=True)
 

@@ -17,7 +17,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build(batch: int, sem_len: int, no_opt: bool = False):
+def build(batch: int, sem_len: int, no_opt: bool = False,
+          remat: bool = True):
     import jax
     import jax.numpy as jnp
     from easevoice_trainer_tpu.models.gpt import Text2SemanticDecoder, T2SConfig
@@ -31,7 +32,7 @@ def build(batch: int, sem_len: int, no_opt: bool = False):
     cfg = T2SConfig()          # real 512/16h/24L/2048ffn config
     hp = gpt_step.GPTTrainHP(grad_accum=1)
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else None
-    model = Text2SemanticDecoder(cfg, dtype=dtype)
+    model = Text2SemanticDecoder(cfg, dtype=dtype, remat=remat)
 
     rng = np.random.default_rng(0)
     ph_len = 48
@@ -63,12 +64,16 @@ def measure(batch: int = 8, sem_len: int = 256, iters: int = 10,
         state, metrics = step(state, batch_dev, jax.random.PRNGKey(i))
     float(metrics["loss"])
     best = float("inf")
+    # block on the FULL output tree at window edges — a loss-scalar fetch
+    # alone lets the next window's clock start while optimizer kernels are
+    # still in flight (see the matching note in bench.py)
     for w in range(3):
+        jax.block_until_ready((state, metrics))
         t0 = time.perf_counter()
         for i in range(iters):
             state, metrics = step(state, batch_dev,
                                   jax.random.PRNGKey(100 + w * iters + i))
-        float(metrics["loss"])
+        jax.block_until_ready((state, metrics))
         best = min(best, time.perf_counter() - t0)
     out = {"steps_per_sec": round(iters / best, 3),
            "step_ms": round(best / iters * 1e3, 3),

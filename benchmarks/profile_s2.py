@@ -58,14 +58,11 @@ def main():
 
     def timeit(name, fn, *args):
         out = fn(*args)                       # compile
-        jax.tree_util.tree_map(
-            lambda x: np.asarray(x).ravel()[:1] if hasattr(x, "ravel")
-            else x, jax.tree_util.tree_leaves(out)[:1])
+        jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(np.asarray(leaf).ravel()[0])
+        jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / iters
         print(f"{name:10s} {dt*1e3:9.2f} ms")
         return out
@@ -73,13 +70,15 @@ def main():
     print(f"device={jax.devices()[0].device_kind} batch={batch_size} "
           f"frames={frames} iters={iters}")
 
-    # full step donates `state` -> must rebind between calls
+    # full step donates `state` -> must rebind between calls.  Block on
+    # the full output tree at the edges (a loss fetch alone lets the clock
+    # stop before the optimizer tail drains; see bench.py).
     st, metrics = step(state, batch, rng)
-    float(np.asarray(metrics["loss/g/total"]))
+    jax.block_until_ready((st, metrics))
     t0 = time.perf_counter()
     for i in range(iters):
         st, metrics = step(st, batch, jax.random.PRNGKey(i))
-    float(np.asarray(metrics["loss/g/total"]))
+    jax.block_until_ready((st, metrics))
     print(f"{'full':10s} {(time.perf_counter()-t0)/iters*1e3:9.2f} ms")
     state = st          # original buffers were donated; use the live ones
 

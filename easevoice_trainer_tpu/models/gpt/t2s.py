@@ -202,6 +202,14 @@ def build_hybrid_mask_bias(x_len: int, y_len: int,
 class Text2SemanticDecoder(nn.Module):
     cfg: T2SConfig = T2SConfig()
     dtype: Optional[jnp.dtype] = None
+    # rematerialize each layer in the backward pass, saving only the
+    # no-batch-dim dot outputs (qkv/out/ffn projections): the (B,H,T,T)
+    # attention scores/probs never round-trip HBM between fwd and bwd.
+    # The train step is HBM-bound at ~20 % MFU, so recomputing the two
+    # attention einsums is cheaper than streaming them (docs/PERF.md).
+    # Identical numerics; transparent to params/checkpoints; a no-op for
+    # inference (prefill/decode take no gradients).
+    remat: bool = True
 
     def setup(self):
         c = self.cfg
@@ -215,9 +223,15 @@ class Text2SemanticDecoder(nn.Module):
             c.embedding_dim, c.max_position, name="ar_text_position")
         self.ar_audio_position = SinePositionalEmbedding(
             c.embedding_dim, c.max_position, name="ar_audio_position")
+        layer_cls = TransformerLayer
+        if self.remat:
+            layer_cls = nn.remat(
+                TransformerLayer,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                static_argnums=(3,))       # `deterministic` flag
         self.layers = [
-            TransformerLayer(c.hidden_dim, c.n_heads, c.ffn_dim, c.dropout,
-                             dtype=self.dtype, name=f"layer_{i}")
+            layer_cls(c.hidden_dim, c.n_heads, c.ffn_dim, c.dropout,
+                      dtype=self.dtype, name=f"layer_{i}")
             for i in range(c.n_layers)
         ]
         self.ar_predict_layer = nn.Dense(c.vocab_size, use_bias=False,
@@ -269,7 +283,8 @@ class Text2SemanticDecoder(nn.Module):
 
         bias = build_hybrid_mask_bias(x_len, y_len, x_lens, y_lens)
         for layer in self.layers:
-            h, _ = layer(h, bias, deterministic=deterministic)
+            # positional `deterministic`: it is a static argnum under remat
+            h, _ = layer(h, bias, deterministic)
 
         logits = self.ar_predict_layer(h[:, x_len:])   # (B, Ty, V)
         logits32 = logits.astype(jnp.float32)
@@ -309,7 +324,7 @@ class Text2SemanticDecoder(nn.Module):
 
         k_caches, v_caches = [], []
         for layer in self.layers:
-            h, (k, v) = layer(h, bias)
+            h, (k, v) = layer(h, bias, True)
             pad = cache_len - t
             k_caches.append(jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0))))
             v_caches.append(jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0))))

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -28,16 +27,7 @@ class ResBlock1(nn.Module):
     fold: int = 1   # space-to-depth factor for small-channel stages
 
     @nn.compact
-    def __call__(self, x, x_mask=None, emit: str = "apply"):
-        if emit == "folded":
-            assert x_mask is None
-            return [[WNConv1d(self.channels, self.channels, self.kernel_size,
-                              dilation=d, name=f"conv1_{j}", dtype=self.dtype,
-                              fold=self.fold)(x, emit="folded"),
-                     WNConv1d(self.channels, self.channels, self.kernel_size,
-                              dilation=1, name=f"conv2_{j}", dtype=self.dtype,
-                              fold=self.fold)(x, emit="folded")]
-                    for j, d in enumerate(self.dilations)]
+    def __call__(self, x, x_mask=None):
         for j, d in enumerate(self.dilations):
             xt = leaky_relu(x)
             if x_mask is not None:
@@ -65,13 +55,7 @@ class ResBlock2(nn.Module):
     fold: int = 1
 
     @nn.compact
-    def __call__(self, x, x_mask=None, emit: str = "apply"):
-        if emit == "folded":
-            assert x_mask is None
-            return [[WNConv1d(self.channels, self.channels, self.kernel_size,
-                              dilation=d, name=f"conv_{j}", dtype=self.dtype,
-                              fold=self.fold)(x, emit="folded")]
-                    for j, d in enumerate(self.dilations)]
+    def __call__(self, x, x_mask=None):
         for j, d in enumerate(self.dilations):
             xt = leaky_relu(x)
             if x_mask is not None:
@@ -95,11 +79,6 @@ class Generator(nn.Module):
     upsample_kernel_sizes: Sequence[int] = (16, 16, 8, 2, 2)
     gin_channels: int = 512
     dtype: Optional[jnp.dtype] = None
-    # run each MRF bank as one Pallas kernel (activations stay in VMEM
-    # across the ~18 convs of a stage) — TPU only; see ops/fused_mrf.py.
-    # True = on TPU backends; "force" = also on CPU via the Pallas
-    # interpreter (tests only)
-    fused_mrf: object = False
 
     @property
     def total_upsample(self) -> int:
@@ -141,54 +120,13 @@ class Generator(nn.Module):
                       for j, (rk, rd) in enumerate(zip(
                           self.resblock_kernel_sizes,
                           self.resblock_dilation_sizes))]
-            on_tpu = jax.default_backend() == "tpu"
-            # lanes capped at 128: the C=256 unfolded stage's backward
-            # kernel needs a (126,256,256) f32 dW accumulator + ~100 MB of
-            # live (T,C) recompute temporaries and exceeds v5e VMEM
-            # (measured: "Used 190.30M of 128.00M vmem")
-            if (self.fused_mrf and ch * fold <= 128
-                    and x.shape[1] % fold == 0
-                    and (on_tpu or self.fused_mrf == "force")):
-                x = _fused_stage(x, [b(x, emit="folded") for b in blocks],
-                                 fold, interpret=not on_tpu)
-            else:
-                xs = None
-                for b in blocks:
-                    y = b(x)
-                    xs = y if xs is None else xs + y
-                x = xs / num_kernels
+            xs = None
+            for b in blocks:
+                y = b(x)
+                xs = y if xs is None else xs + y
+            x = xs / num_kernels
 
         x = leaky_relu(x, 0.01)
         x = nn.Conv(1, (7,), padding=[(3, 3)], use_bias=False, dtype=dtype,
                     param_dtype=jnp.float32, name="conv_post")(x)
         return jnp.tanh(x)
-
-
-def _fused_stage(x, block_specs, fold, interpret=False):
-    """Run one MRF bank through the Pallas fused-stage kernel.
-
-    ``block_specs[j][s][c]`` is the :class:`FoldedConvSpec` of conv ``c``
-    in residual step ``s`` of resblock ``j`` (from ``emit="folded"``).
-    Activations are space-to-depth folded by ``fold`` outside the kernel
-    (a pure reshape) so the kernel's lanes are ``fold * C`` wide.
-    """
-    from ...ops.fused_mrf import build_stage_spec, mrf_stage
-
-    defs, ws, bs = [], [], []
-    for blk in block_specs:
-        bdef = []
-        for step in blk:
-            sdef = []
-            for cs in step:
-                sdef.append((cs.kp, cs.pl, cs.dil))
-                ws.append(cs.wf)
-                bs.append(cs.bias)
-            bdef.append(sdef)
-        defs.append(bdef)
-    spec = build_stage_spec(defs)
-    wcat = jnp.concatenate(ws, axis=0)
-    bcat = jnp.stack(bs, axis=0)
-    b, t, c = x.shape
-    xf = x.reshape(b, t // fold, fold * c) if fold > 1 else x
-    y = mrf_stage(xf, wcat, bcat, spec, interpret)
-    return y.reshape(b, t, c) if fold > 1 else y

@@ -195,19 +195,6 @@ def folded_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, *, stride: int = 1,
     return y.reshape(b, (t + t_pad) // stride, cout)[:, :t_out]
 
 
-class FoldedConvSpec:
-    """Materialized (folded) conv weights emitted by ``WNConv1d`` for
-    cross-conv fusion (see ``ops/fused_mrf.py``): taps ``wf`` of shape
-    ``(kp, f*Cin, f*Cout)``, folded bias ``(f*Cout,)``, tap spacing
-    ``dil`` and left reach ``pl``."""
-
-    __slots__ = ("wf", "bias", "kp", "pl", "dil", "fold")
-
-    def __init__(self, wf, bias, kp, pl, dil, fold):
-        self.wf, self.bias = wf, bias
-        self.kp, self.pl, self.dil, self.fold = kp, pl, dil, fold
-
-
 class WNConv1d(nn.Module):
     """Weight-normalized Conv1d (reference: torch.nn.utils.weight_norm).
 
@@ -219,11 +206,6 @@ class WNConv1d(nn.Module):
     kernel is built from the same (g, v) params by a static selection
     einsum, so checkpoints, gradients and numerics (up to matmul
     reassociation) are unchanged.
-
-    ``__call__(x, emit="folded")`` skips the convolution and returns the
-    :class:`FoldedConvSpec` instead — the Pallas fused-MRF path consumes
-    several convs' specs in one kernel.  Params are declared identically
-    in both modes, so checkpoints are unaffected.
     """
 
     in_features: int
@@ -238,7 +220,7 @@ class WNConv1d(nn.Module):
     fold: int = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, emit: str = "apply"):
+    def __call__(self, x: jnp.ndarray):
         dtype = self.dtype or x.dtype
         kernel = _WeightNormKernel(
             (self.kernel_size, self.in_features // self.groups, self.features),
@@ -247,26 +229,6 @@ class WNConv1d(nn.Module):
         pad = self.padding
         if pad is None:
             pad = (self.kernel_size * self.dilation - self.dilation) // 2
-
-        if emit == "folded":
-            assert self.groups == 1 and self.stride == 1
-            bias = (self.param("bias", nn.initializers.zeros,
-                               (self.features,), jnp.float32)
-                    if self.use_bias else
-                    jnp.zeros((self.features,), jnp.float32))
-            f = max(1, self.fold)
-            if f == 1:
-                wf, q_min, kp, dil = kernel, -pad, self.kernel_size, self.dilation
-            else:
-                m, q_min, kp = _fold_selector(
-                    self.kernel_size, self.dilation, pad, f, 1)
-                wf = jnp.einsum("tio,tqrs->qriso", kernel,
-                                jnp.asarray(m, kernel.dtype))
-                wf = wf.reshape(kp, f * self.in_features, f * self.features)
-                dil = 1
-            bias_f = jnp.tile(bias, f).astype(dtype)
-            return FoldedConvSpec(wf, bias_f, kp=kp, pl=-q_min, dil=dil,
-                                  fold=f)
 
         if self.fold > 1 and self.groups == 1:
             y = folded_conv1d(x, kernel, stride=self.stride,

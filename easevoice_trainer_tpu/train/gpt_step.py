@@ -98,17 +98,20 @@ def make_optimizer(hp: GPTTrainHP) -> optax.GradientTransformation:
 
 def create_train_state(rng, model: Text2SemanticDecoder, hp: GPTTrainHP,
                        example_batch: Dict[str, jnp.ndarray]) -> GPTTrainState:
-    variables = model.init(
+    # jit the init: eagerly it executes ~500 host ops one XLA program each
+    # (initializers, broadcasts), minutes of dispatch on a slow host core —
+    # jitted it is ONE compile (measured in benchmarks/e2e_finetune.py)
+    variables = jax.jit(model.init)(
         rng, example_batch["phoneme_ids"], example_batch["phoneme_ids_len"],
         example_batch["semantic_ids"], example_batch["semantic_ids_len"],
         example_batch["bert_feature"])
     params = variables["params"]
     arena = arena_mod.build_arena(params, gpt_arena_label)
-    packed = arena_mod.pack(arena, params)
+    packed = jax.jit(lambda p: arena_mod.pack(arena, p))(params)
     return GPTTrainState(
         step=jnp.zeros((), jnp.int32),
         params=packed,
-        opt_state=make_optimizer(hp).init(packed),
+        opt_state=jax.jit(make_optimizer(hp).init)(packed),
         arena=arena)
 
 

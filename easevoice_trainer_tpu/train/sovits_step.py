@@ -134,25 +134,29 @@ def create_train_state(rng, synthesizer: SynthesizerTrn,
                        hp: S2TrainHP, example_batch: Dict[str, jnp.ndarray],
                        steps_per_epoch: int = 1) -> S2TrainState:
     g_rngs = {"params": rng, "slice": rng, "latent": rng, "dropout": rng}
-    vars_g = synthesizer.init(
+    # jit both inits: eagerly they execute ~1200 host ops one XLA program
+    # each (conv initializers, broadcasts) — minutes of per-op dispatch on a
+    # slow host core; jitted it is one compile each (measured: 1238 -> ~40
+    # XLA compiles for a full fine-tune run, benchmarks/e2e_finetune.py)
+    vars_g = jax.jit(synthesizer.init)(
         g_rngs, example_batch["ssl"], example_batch["spec"],
         example_batch["spec_lengths"], example_batch["text"],
         example_batch["text_lengths"])
     seg = hp.segment_size
     dummy = jnp.zeros((example_batch["spec"].shape[0], seg, 1))
-    vars_d = discriminator.init(rng, dummy, dummy)
+    vars_d = jax.jit(discriminator.init)(rng, dummy, dummy)
     params_g, params_d = vars_g["params"], vars_d["params"]
     arena_g = arena_mod.build_arena(params_g, _text_lr_label)
     arena_d = arena_mod.build_arena(params_d)
-    packed_g = arena_mod.pack(arena_g, params_g)
-    packed_d = arena_mod.pack(arena_d, params_d)
+    packed_g = jax.jit(lambda p: arena_mod.pack(arena_g, p))(params_g)
+    packed_d = jax.jit(lambda p: arena_mod.pack(arena_d, p))(params_d)
     optim_g, optim_d = make_optimizers(hp, arena_g, arena_d, steps_per_epoch)
     return S2TrainState(
         step=jnp.zeros((), jnp.int32),
         params_g=packed_g,
         params_d=packed_d,
-        opt_g=optim_g.init(packed_g),
-        opt_d=optim_d.init(packed_d),
+        opt_g=jax.jit(optim_g.init)(packed_g),
+        opt_d=jax.jit(optim_d.init)(packed_d),
         arena_g=arena_g,
         arena_d=arena_d,
     )
