@@ -7,18 +7,60 @@ frames ~ 5.1 s clips) — the BASELINE.md north-star metric
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 comparison point is our own measurement of the reference recipe on the
-same fixture dataset (benchmarks/refshim/run_reference_s2.py — torch CPU,
-the only reference path runnable here; caveats recorded in
-BASELINE.json["measured_reference"]).  The ratio is reference s2
-wall-clock / our warm s2 wall-clock for the identical 2-epoch fine-tune.
+same fixture dataset (benchmarks/refshim/run_reference_s2.py --write-baseline
+pins it into BASELINE.json["measured_reference"]; caveats recorded there).
+The ratio is reference s2 wall-clock / our s2 wall-clock for the identical
+2-epoch fine-tune.
+
+Budget discipline (round-4 post-mortem: rc=124, no JSON at all): the whole
+run works against one wall-clock budget (EASEVOICE_BENCH_BUDGET_SEC,
+default 420 s).  Each optional stage (GPT, RTF, e2e) runs only if enough
+budget remains for a conservative estimate of its cost and records a
+skip-with-reason otherwise; the JSON line is printed from a ``finally``
+so a partial run still produces its number, and SIGTERM/SIGALRM (the
+driver's timeout) is converted into an exception so even a hard overrun
+emits whatever was measured by then.
 """
 from __future__ import annotations
 
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+_T0 = time.monotonic()
+_BUDGET = float(os.environ.get("EASEVOICE_BENCH_BUDGET_SEC", "420"))
+
+
+def _remaining() -> float:
+    return _BUDGET - (time.monotonic() - _T0)
+
+
+class _BenchTimeout(BaseException):
+    """Raised from the SIGTERM/SIGALRM handler; BaseException so no
+    intermediate ``except Exception`` swallows it before the final print."""
+
+
+def _install_signal_fallback() -> None:
+    def handler(signum, frame):
+        raise _BenchTimeout(f"signal {signum} at {time.monotonic() - _T0:.0f}s")
+
+    for sig in (signal.SIGTERM, signal.SIGALRM):
+        try:
+            signal.signal(sig, handler)
+        except (ValueError, OSError):  # pragma: no cover - non-main thread
+            pass
+    # hard fallback: raise ourselves 15 s before the budget expires so the
+    # JSON gets out even if a stage estimate was wrong (the alarm interrupts
+    # Python between bytecodes; long C calls delay but rarely exceed 15 s
+    # once compiles are cached)
+    try:
+        signal.alarm(max(1, int(_BUDGET - 15 - (time.monotonic() - _T0))))
+    except (ValueError, OSError):  # pragma: no cover
+        pass
 
 
 def build(batch_size: int, frames: int):
@@ -77,13 +119,9 @@ _PEAKS = {
 }
 
 
-def main():
+def _measure_headline(batch_size: int, frames: int, n_steps: int,
+                      extra: dict) -> float:
     import jax
-
-    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
-    batch_size = int(pos[0]) if len(pos) > 0 else 8
-    frames = int(pos[1]) if len(pos) > 1 else 256
-    n_steps = int(pos[2]) if len(pos) > 2 else 10
 
     state, batch, step = build(batch_size, frames)
 
@@ -99,8 +137,9 @@ def main():
     # still in flight, so a scalar fetch alone lets window w+1's clock
     # start before window w's tail drains (this inflated round-3 steps/s
     # enough to put hbm_roofline_pct at an impossible 100.87 %).
+    windows = 3 if _remaining() > 60 else 1
     best_dt = float("inf")
-    for w in range(3):
+    for w in range(windows):
         jax.block_until_ready((state, metrics))
         t0 = time.perf_counter()
         for i in range(n_steps):
@@ -111,7 +150,7 @@ def main():
     steps_per_sec = n_steps / best_dt
 
     # MFU + HBM roofline from XLA's own cost model of the compiled step
-    extra = {"device": jax.devices()[0].device_kind}
+    extra["device"] = jax.devices()[0].device_kind
     try:
         ca = step.lower(state, batch,
                         jax.random.PRNGKey(0)).compile().cost_analysis()
@@ -127,76 +166,141 @@ def main():
                 100 * hbm_bytes * steps_per_sec / peaks[1], 2)
     except Exception as exc:                    # pragma: no cover
         extra["cost_analysis_error"] = str(exc)[:120]
+    return steps_per_sec
 
-    # s1 GPT training throughput + MFU (the other trainer's north star)
-    if "--no-gpt" not in sys.argv:
-        try:
-            sys.path.insert(0, "benchmarks")
-            from profile_gpt import measure as measure_gpt
 
-            g = measure_gpt(8, 256, 10)
-            extra["gpt_steps_per_sec"] = g["steps_per_sec"]
-            extra["gpt_step_ms"] = g["step_ms"]
-            peaks = _PEAKS.get(extra["device"])
-            if peaks and g.get("tflops_per_step"):
-                extra["gpt_mfu_pct"] = round(
-                    100 * g["tflops_per_step"] * 1e12
-                    * g["steps_per_sec"] / peaks[0], 2)
-                extra["gpt_gbytes_per_step"] = g.get("gbytes_per_step")
-        except Exception as exc:                # pragma: no cover
-            extra["gpt_error"] = str(exc)[:120]
+def _stage(extra: dict, name: str, estimate_sec: float, enabled: bool):
+    """Budget gate: returns True to run the stage, else records the skip."""
+    if not enabled:
+        extra[f"{name}_skipped"] = "disabled by flag/env"
+        return False
+    rem = _remaining()
+    if rem < estimate_sec:
+        extra[f"{name}_skipped"] = (
+            f"budget: {rem:.0f}s left < {estimate_sec:.0f}s estimate")
+        return False
+    return True
 
-    # second north star: synthesis real-time factor (target <= 0.1)
-    if "--no-rtf" not in sys.argv:
-        try:
-            sys.path.insert(0, "benchmarks")
-            from rtf import measure as measure_rtf
 
-            r = measure_rtf(250, 1)
-            extra["rtf"] = r["value"]
-            extra["rtf_detail"] = r["detail"]
-        except Exception as exc:                # pragma: no cover
-            extra["rtf_error"] = str(exc)[:120]
+def _stage_gpt(extra: dict) -> None:
+    t0 = time.monotonic()
+    try:
+        from profile_gpt import measure as measure_gpt
 
-    # BASELINE.md north star: s2+s1 fine-tune wall-clock on a 1-minute
-    # clone dataset through the production drivers (compile-cache warm
-    # rounds reflect steady-state; EASEVOICE_BENCH_E2E=0 skips)
-    import os as _os
+        g = measure_gpt(8, 256, 10)
+        extra["gpt_steps_per_sec"] = g["steps_per_sec"]
+        extra["gpt_step_ms"] = g["step_ms"]
+        peaks = _PEAKS.get(extra.get("device", ""))
+        if peaks and g.get("tflops_per_step"):
+            extra["gpt_mfu_pct"] = round(
+                100 * g["tflops_per_step"] * 1e12
+                * g["steps_per_sec"] / peaks[0], 2)
+            extra["gpt_gbytes_per_step"] = g.get("gbytes_per_step")
+    except Exception as exc:                # pragma: no cover
+        extra["gpt_error"] = str(exc)[:120]
+    extra["gpt_stage_sec"] = round(time.monotonic() - t0, 1)
 
+
+def _stage_rtf(extra: dict) -> None:
+    t0 = time.monotonic()
+    try:
+        from rtf import measure as measure_rtf
+
+        r = measure_rtf(250, 1)
+        extra["rtf"] = r["value"]
+        extra["rtf_detail"] = r["detail"]
+    except Exception as exc:                # pragma: no cover
+        extra["rtf_error"] = str(exc)[:120]
+    extra["rtf_stage_sec"] = round(time.monotonic() - t0, 1)
+
+
+def _stage_e2e(extra: dict, cold_warm: bool):
+    """BASELINE.md north star: s2+s1 fine-tune wall-clock on a 1-minute
+    clone dataset through the production drivers.  One pass for the
+    driver; --cold-warm (manual runs) measures both sides of the
+    persistent compile cache."""
+    t0 = time.monotonic()
     vs_baseline = None
-    if ("--no-e2e" not in sys.argv
-            and _os.environ.get("EASEVOICE_BENCH_E2E", "1") != "0"):
-        try:
-            sys.path.insert(0, "benchmarks")
-            from e2e_finetune import measure_cold_warm
+    try:
+        from e2e_finetune import measure, measure_cold_warm
 
+        if cold_warm:
             e = measure_cold_warm(2)
             extra["e2e_finetune"] = e["warm"]
             extra["e2e_finetune_cold"] = e["cold"]
+            ours_wall = e["warm"]
+        else:
+            ours_wall = measure(2)
+            extra["e2e_finetune"] = ours_wall
 
-            # ratio vs the pinned same-fixture reference-recipe measurement
-            # (benchmarks/refshim/run_reference_s2.py; caveats in the json)
-            try:
-                ref = json.load(open("BASELINE.json")).get(
-                    "measured_reference", {})
-                ref_wall = ref.get("ref_s2_wall_sec")
-                ours = e["warm"].get("s2_wall_sec")
-                if (ref_wall and ours and ref.get("epochs") == 2
-                        and e["warm"].get("epochs") == 2):
-                    vs_baseline = round(ref_wall / ours, 2)
-                    extra["vs_baseline_note"] = ref.get("caveat", "")
-            except Exception:
-                pass
-        except Exception as exc:                # pragma: no cover
-            extra["e2e_error"] = str(exc)[:120]
+        # ratio vs the pinned same-fixture reference-recipe measurement
+        # (benchmarks/refshim/run_reference_s2.py --write-baseline)
+        try:
+            ref = json.load(open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE.json"))).get("measured_reference", {})
+            ref_wall = ref.get("ref_s2_wall_sec")
+            ours = ours_wall.get("s2_wall_sec")
+            if (ref_wall and ours and ref.get("epochs") == 2
+                    and ours_wall.get("epochs") == 2):
+                vs_baseline = round(ref_wall / ours, 2)
+                extra["vs_baseline_note"] = ref.get("caveat", "")
+            elif not ref_wall:
+                extra["vs_baseline_note"] = (
+                    "BASELINE.json has no measured_reference; run "
+                    "benchmarks/refshim/run_reference_s2.py --write-baseline")
+        except Exception:
+            pass
+    except Exception as exc:                # pragma: no cover
+        extra["e2e_error"] = str(exc)[:120]
+    extra["e2e_stage_sec"] = round(time.monotonic() - t0, 1)
+    return vs_baseline
 
-    print(json.dumps({
-        "metric": "s2_train_steps_per_sec",
-        "value": round(steps_per_sec, 4),
-        "unit": "steps/s",
-        "vs_baseline": vs_baseline,
-        "extra": extra,
-    }))
+
+def main():
+    _install_signal_fallback()
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    batch_size = int(pos[0]) if len(pos) > 0 else 8
+    frames = int(pos[1]) if len(pos) > 1 else 256
+    n_steps = int(pos[2]) if len(pos) > 2 else 10
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+
+    extra: dict = {"budget_sec": _BUDGET}
+    steps_per_sec = None
+    vs_baseline = None
+    try:
+        steps_per_sec = _measure_headline(batch_size, frames, n_steps, extra)
+        extra["headline_stage_sec"] = round(time.monotonic() - _T0, 1)
+
+        if _stage(extra, "gpt", 60, "--no-gpt" not in sys.argv):
+            _stage_gpt(extra)
+        if _stage(extra, "rtf", 60, "--no-rtf" not in sys.argv):
+            _stage_rtf(extra)
+
+        cold_warm = "--cold-warm" in sys.argv
+        e2e_enabled = ("--no-e2e" not in sys.argv
+                       and os.environ.get("EASEVOICE_BENCH_E2E", "1") != "0")
+        if _stage(extra, "e2e", 240 * (2 if cold_warm else 1), e2e_enabled):
+            vs_baseline = _stage_e2e(extra, cold_warm)
+    except _BenchTimeout as exc:
+        extra["timeout"] = str(exc)
+    except Exception as exc:                # pragma: no cover
+        extra["error"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        try:
+            signal.alarm(0)
+        except (ValueError, OSError):  # pragma: no cover
+            pass
+        extra["total_sec"] = round(time.monotonic() - _T0, 1)
+        print(json.dumps({
+            "metric": "s2_train_steps_per_sec",
+            "value": round(steps_per_sec, 4) if steps_per_sec else None,
+            "unit": "steps/s",
+            "vs_baseline": vs_baseline,
+            "extra": extra,
+        }), flush=True)
 
 
 if __name__ == "__main__":

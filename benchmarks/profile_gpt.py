@@ -55,11 +55,11 @@ def build(batch: int, sem_len: int, no_opt: bool = False,
 
 
 def measure(batch: int = 8, sem_len: int = 256, iters: int = 10,
-            no_opt: bool = False) -> dict:
+            no_opt: bool = False, remat: bool = True) -> dict:
     """Best-of-3-window s1 step timing + cost model; reused by bench.py."""
     import jax
 
-    state, batch_dev, step = build(batch, sem_len, no_opt)
+    state, batch_dev, step = build(batch, sem_len, no_opt, remat)
     for i in range(2):
         state, metrics = step(state, batch_dev, jax.random.PRNGKey(i))
     float(metrics["loss"])
@@ -77,7 +77,7 @@ def measure(batch: int = 8, sem_len: int = 256, iters: int = 10,
         best = min(best, time.perf_counter() - t0)
     out = {"steps_per_sec": round(iters / best, 3),
            "step_ms": round(best / iters * 1e3, 3),
-           "batch": batch, "sem_len": sem_len}
+           "batch": batch, "sem_len": sem_len, "remat": remat}
     try:
         ca = step.lower(state, batch_dev,
                         jax.random.PRNGKey(0)).compile().cost_analysis()
@@ -91,13 +91,16 @@ def measure(batch: int = 8, sem_len: int = 256, iters: int = 10,
 
 
 def main():
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    sem_len = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    batch = int(pos[0]) if len(pos) > 0 else 8
+    sem_len = int(pos[1]) if len(pos) > 1 else 256
+    iters = int(pos[2]) if len(pos) > 2 else 10
     no_opt = "--no-opt" in sys.argv
+    remat = "--no-remat" not in sys.argv
 
-    out = measure(batch, sem_len, iters, no_opt)
+    out = measure(batch, sem_len, iters, no_opt, remat)
     label = "gpt no-opt" if no_opt else "gpt full"
+    label += " remat" if remat else " no-remat"
     print(f"{label} step ({batch}x{sem_len}): {out['step_ms']:.2f} ms "
           f"({out['steps_per_sec']} steps/s)")
     if "tflops_per_step" in out:

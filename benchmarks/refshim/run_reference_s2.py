@@ -18,6 +18,11 @@ under its own root, which is read-only at /root/reference), and the
 file.  Nothing is copied into the repo.
 
 Usage: python benchmarks/refshim/run_reference_s2.py [epochs] [--json]
+           [--write-baseline]
+
+``--write-baseline`` pins the measurement into the repo's
+``BASELINE.json`` under the ``measured_reference`` key — exactly what
+``bench.py``'s ``vs_baseline`` reads (it stays null otherwise).
 """
 from __future__ import annotations
 
@@ -101,6 +106,20 @@ def main():
             "caveat": "reference torch CPU (no CUDA on host, 1 core) vs "
                       "repo TPU; s2 only (s1 needs pytorch_lightning)",
         }
+        if "--write-baseline" in sys.argv:
+            import platform
+
+            out["host"] = platform.node()
+            baseline_path = os.path.join(REPO, "BASELINE.json")
+            with open(baseline_path) as f:
+                baseline = json.load(f)
+            baseline["measured_reference"] = out
+            tmp = baseline_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(baseline, f, indent=2)
+            os.replace(tmp, baseline_path)
+            print(f"wrote measured_reference into {baseline_path}",
+                  file=sys.stderr)
         if "--json" in sys.argv:
             print(json.dumps(out))
         else:

@@ -64,15 +64,92 @@ class GlobalCFG:
         )
 
     @staticmethod
-    def _enable_compile_cache() -> None:
+    def _machine_fingerprint(backend: str | None = None,
+                             device_kind: str | None = None,
+                             cpu_flags: str | None = None) -> str:
+        """Cache key for persisted XLA executables: backend + device kind +
+        host-CPU feature set.
+
+        The persistent cache stores *compiled machine code*, and not only
+        for the accelerator: computations placed on the host CPU (e.g.
+        ``jax.default_device(cpu)`` init paths) persist XLA:CPU AOT
+        executables whose instruction selection is pinned to the compiling
+        machine's CPU features.  Loading those on a host with a different
+        feature set fails with ``cpu_aot_loader.cc`` "machine type
+        mismatch" errors (or worse, SIGILL).  Keying the cache directory
+        on (backend, device kind, CPU flags) makes a cache populated on
+        one machine invisible — rather than poisonous — on another.
+
+        Arguments exist for tests; production callers pass nothing.
+        """
+        import hashlib
+
+        if backend is None or device_kind is None:
+            try:
+                import jax
+
+                backend = backend or jax.default_backend()
+                if device_kind is None:
+                    device_kind = jax.devices()[0].device_kind
+            except Exception:
+                backend = backend or "unknown"
+                device_kind = device_kind or "unknown"
+        if cpu_flags is None:
+            cpu_flags = ""
+            try:
+                with open("/proc/cpuinfo") as f:
+                    for line in f:
+                        if line.startswith(("flags", "Features")):
+                            cpu_flags = " ".join(
+                                sorted(line.split(":", 1)[1].split()))
+                            break
+            except OSError:
+                import platform
+
+                cpu_flags = platform.processor() or platform.machine()
+        digest = hashlib.sha256(
+            f"{backend}|{device_kind}|{cpu_flags}".encode()).hexdigest()[:12]
+        safe_backend = "".join(c if c.isalnum() else "_" for c in backend)
+        return f"{safe_backend}-{digest}"
+
+    @staticmethod
+    def _purge_unkeyed_cache_entries(root: str) -> None:
+        """Remove legacy flat cache entries (pre machine-keying) from the
+        cache root.  Keyed per-machine subdirectories (``tpu-a1b2...``) are
+        left alone — only loose compile artifacts that any machine would
+        load (and possibly SIGILL on) are deleted."""
+        import re
+        import shutil
+
+        keyed = re.compile(r"^[A-Za-z0-9_]+-[0-9a-f]{12}$")
+        try:
+            entries = os.listdir(root)
+        except OSError:
+            return
+        for name in entries:
+            if keyed.match(name):
+                continue
+            path = os.path.join(root, name)
+            try:
+                if os.path.isdir(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
+                    os.remove(path)
+            except OSError:     # pragma: no cover - best-effort hygiene
+                pass
+
+    @classmethod
+    def _enable_compile_cache(cls) -> None:
         """Persistent XLA compilation cache shared across processes.
 
         Every train run is its own subprocess (service/session.py spawns
         cmd entrypoints), and a cold TPU compile of the s2/s1 step is
         minutes — without this cache each run pays it again.  Off-CPU
         only (CPU compiles are cheap and tests churn tiny shapes).
-        Disable with EASEVOICE_COMPILE_CACHE=off or point it elsewhere
-        with EASEVOICE_COMPILE_CACHE=/path.
+        Disable with EASEVOICE_COMPILE_CACHE=off or point the *root*
+        elsewhere with EASEVOICE_COMPILE_CACHE=/path; either way the
+        actual cache lives in a per-machine subdirectory (see
+        ``_machine_fingerprint``) so artifacts never cross machines.
         """
         val = os.environ.get("EASEVOICE_COMPILE_CACHE", "").strip()
         if val.lower() in ("off", "none", "0"):
@@ -82,8 +159,10 @@ class GlobalCFG:
 
             if jax.default_backend() == "cpu":
                 return
-            cache_dir = val or os.path.join(paths.get_base_path(),
-                                            "jax_compile_cache")
+            cache_root = val or os.path.join(paths.get_base_path(),
+                                             "jax_compile_cache")
+            cls._purge_unkeyed_cache_entries(cache_root)
+            cache_dir = os.path.join(cache_root, cls._machine_fingerprint())
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
