@@ -214,6 +214,21 @@ def _stage_rtf(extra: dict) -> None:
     extra["rtf_stage_sec"] = round(time.monotonic() - t0, 1)
 
 
+def _stage_rtf_multiseg(extra: dict) -> None:
+    """RTF through the full ``TTS.run`` clone path (prefill + to_batch
+    bucketing + parallel_infer vocode + splice) — the serving-shaped
+    number, vs the hot-loop-only ``rtf`` above."""
+    t0 = time.monotonic()
+    try:
+        from rtf import measure_multi_segment
+
+        m = measure_multi_segment()
+        extra.setdefault("rtf_detail", {})["multi_segment"] = m
+    except Exception as exc:                # pragma: no cover
+        extra["rtf_multiseg_error"] = str(exc)[:120]
+    extra["rtf_multiseg_stage_sec"] = round(time.monotonic() - t0, 1)
+
+
 def _stage_e2e(extra: dict, cold_warm: bool):
     """BASELINE.md north star: s2+s1 fine-tune wall-clock on a 1-minute
     clone dataset through the production drivers.  One pass for the
@@ -284,6 +299,10 @@ def main():
                        and os.environ.get("EASEVOICE_BENCH_E2E", "1") != "0")
         if _stage(extra, "e2e", 240 * (2 if cold_warm else 1), e2e_enabled):
             vs_baseline = _stage_e2e(extra, cold_warm)
+        # serving-path RTF: only when a generous budget leaves headroom
+        # after e2e (manual runs set EASEVOICE_BENCH_BUDGET_SEC higher)
+        if _stage(extra, "rtf_multiseg", 240, "--no-rtf" not in sys.argv):
+            _stage_rtf_multiseg(extra)
     except _BenchTimeout as exc:
         extra["timeout"] = str(exc)
     except Exception as exc:                # pragma: no cover

@@ -12,10 +12,13 @@ weight-independent.  Run: python benchmarks/rtf.py [n_tokens] [batch]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(n_tokens: int = 250, batch: int = 1) -> dict:
@@ -108,7 +111,116 @@ def measure(n_tokens: int = 250, batch: int = 1) -> dict:
     }
 
 
+def measure_multi_segment(n_segments: int = 6, batch_size: int = 4) -> dict:
+    """RTF through the REAL clone path: ``TTS.run`` end-to-end at real model
+    config — text preprocessing, ``to_batch`` bucketing, AR prefill+decode,
+    ``parallel_infer`` batched vocoding, and fragment splice all included
+    (reference: src/easevoice/inference/tts.py:577-908).
+
+    Random weights (no egress), so generated token counts vary run-to-run;
+    the denominator is the ACTUAL audio seconds produced, making the ratio
+    honest regardless of early EOS.
+    """
+    import tempfile
+
+    import jax
+
+    from easevoice_trainer_tpu.inference.tts import (InferenceTaskData, TTS,
+                                                     TTSConfig)
+    from easevoice_trainer_tpu.models.cnhubert import CNHubert, HubertConfig
+    from easevoice_trainer_tpu.models.gpt import (Text2SemanticDecoder,
+                                                  T2SConfig)
+    from easevoice_trainer_tpu.models.sovits import (SovitsConfig,
+                                                     SynthesizerTrn)
+    from easevoice_trainer_tpu.utils import audio_io
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    dev = jax.devices()[0]
+    key = jax.random.PRNGKey(0)
+
+    vits_cfg = SovitsConfig()
+    vits = SynthesizerTrn(vits_cfg)
+    t2s_cfg = T2SConfig()
+    t2s = Text2SemanticDecoder(t2s_cfg)
+    hcfg = HubertConfig()
+    hubert = CNHubert(hcfg)
+
+    with jax.default_device(cpu):
+        vvars = jax.jit(vits.init)(
+            {"params": key, "slice": key, "latent": key, "dropout": key},
+            np.zeros((1, 8, vits_cfg.ssl_dim), np.float32),
+            np.zeros((1, 8, 1025), np.float32), np.array([8], np.int32),
+            np.zeros((1, 4), np.int32), np.array([4], np.int32))
+        tvars = jax.jit(t2s.init)(
+            key, np.zeros((1, 4), np.int32), np.array([4], np.int32),
+            np.zeros((1, 6), np.int32), np.array([6], np.int32),
+            np.zeros((1, 4, 1024), np.float32))
+        hvars = jax.jit(hubert.init)(key, np.zeros((1, 16000), np.float32))
+        vvars, tvars, hvars = jax.tree_util.tree_map(
+            np.asarray, (vvars, tvars, hvars))
+
+    tmp = tempfile.mkdtemp(prefix="ev_rtf_")
+    cfg = TTSConfig(os.path.join(tmp, "tts_infer.yaml"))
+    tts = TTS(cfg, models=dict(
+        vits=vits, vits_cfg=vits_cfg,
+        vits_params=jax.device_put(vvars["params"], dev),
+        t2s=t2s, t2s_cfg=t2s_cfg,
+        t2s_params=jax.device_put(tvars["params"], dev),
+        cnhubert=hubert, cnhubert_params=jax.device_put(hvars, dev),
+        bert=None))
+
+    rng = np.random.default_rng(0)
+    ref_path = os.path.join(tmp, "ref.wav")
+    audio_io.write_wav(ref_path,
+                       rng.uniform(-0.3, 0.3, 32000 * 5).astype(np.float32),
+                       32000)
+
+    sentences = [
+        "The quick brown fox jumps over the lazy dog near the river bank.",
+        "A journey of a thousand miles begins with a single careful step.",
+        "Voice cloning turns a short reference clip into a full synthetic "
+        "narrator.",
+        "Benchmarks must include every stage, not only the hot inner loops.",
+        "Segment bucketing groups sentences of similar length into one "
+        "batch.",
+        "The final splice stitches fragments back in their original order.",
+    ]
+    text = " ".join(sentences[:n_segments])
+    task = InferenceTaskData(
+        text=text, text_lang="en", ref_audio_path=ref_path, prompt_text="",
+        text_split_method="by_english_period", batch_size=batch_size,
+        parallel_infer=True, split_bucket=True, top_k=15,
+        repetition_penalty=1.35, seed=1234)
+
+    # cold pass = compile (prefill/decode/vocode shapes); second pass is the
+    # production steady state a serving deployment sees
+    t0 = time.perf_counter()
+    outs = list(tts.run(task))
+    t_cold = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    outs = list(tts.run(task))
+    wall = time.perf_counter() - t0
+
+    sr, audio = outs[0]
+    audio_sec = len(audio) / sr
+    rtf = wall / max(audio_sec, 1e-6)
+    return {
+        "rtf": round(rtf, 4),
+        "wall_sec": round(wall, 3),
+        "cold_sec": round(t_cold, 3),
+        "audio_sec": round(audio_sec, 2),
+        "segments": n_segments,
+        "batch_size": batch_size,
+        "phase_sec": {k: round(v, 3)
+                      for k, v in getattr(tts, "last_phases", {}).items()},
+    }
+
+
 def main():
+    if "--multi-segment" in sys.argv:
+        print(json.dumps(measure_multi_segment()))
+        return
     n_tokens = int(sys.argv[1]) if len(sys.argv) > 1 else 250   # ~10 s
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     print(json.dumps(measure(n_tokens, batch)))

@@ -407,6 +407,10 @@ class TTS:
         audio = self._postprocess(
             [a for a in audio_fragments if a is not None],
             task.fragment_interval)
+        # phase timers (reference tts.py:664-839 ttime() checkpoints),
+        # kept on the instance for benchmarks / session observability
+        self.last_phases = {"ref_prep": t1 - t0, "text_preproc": t2 - t1,
+                            "ar_decode": t_ar, "vocoder": t_voc}
         logger.info("tts phases: ref=%.2fs text=%.2fs ar=%.2fs voc=%.2fs",
                     t1 - t0, t2 - t1, t_ar, t_voc)
         yield sr, audio
@@ -491,12 +495,32 @@ class TTS:
         samples = n_codes * 2 * self.cfg.hop_length
         return np.asarray(wav)[0, :samples, 0]
 
+    # HBM guard for the batched vocoder: the HiFi-GAN tail runs at 16-32
+    # channels, which the TPU pads to 128 lanes (8x memory expansion), so a
+    # batch of worst-case 54 s segments can exceed single-chip HBM as one
+    # padded decode (measured: 4 x 1.64 M samples -> 31.7 G of HLO temps on
+    # a 16 G v5e).  Chunk the batch so padded batch-samples per decode stay
+    # under this budget; each chunk reuses the same jitted fn (same padded
+    # shape) so steady-state serving pays no extra compiles.
+    _VOCODE_BUDGET_SAMPLES = int(os.environ.get(
+        "EASEVOICE_VOCODE_BUDGET_SAMPLES", str(3_000_000)))
+
     def _vocode_batch(self, tokens: np.ndarray, lengths: np.ndarray,
                       batch: List[Dict], speed_factor: float
                       ) -> List[np.ndarray]:
-        """One padded VITS decode for the whole segment batch
-        (reference parallel_infer: tts.py:796-807)."""
+        """Padded VITS decode for the segment batch, chunked under the HBM
+        budget above (reference parallel_infer: tts.py:796-807)."""
         B = len(batch)
+        pad_all = _round_up(max(max(int(lengths[j]) for j in range(B)), 16),
+                            64) * 2 * self.cfg.hop_length
+        rows_per_call = max(1, self._VOCODE_BUDGET_SAMPLES // max(pad_all, 1))
+        if rows_per_call < B:
+            out: List[np.ndarray] = []
+            for s in range(0, B, rows_per_call):
+                sl = slice(s, min(s + rows_per_call, B))
+                out.extend(self._vocode_batch(tokens[sl], lengths[sl],
+                                              batch[sl], speed_factor))
+            return out
         n_codes = [max(int(lengths[j]), 1) for j in range(B)]
         pad_codes = _round_up(max(max(n_codes), 16), 64)
         codes = np.zeros((B, pad_codes), np.int32)

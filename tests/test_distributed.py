@@ -10,7 +10,6 @@ import socket
 import subprocess
 import sys
 
-import numpy as np
 import pytest
 
 
@@ -22,7 +21,8 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_gpt_step_matches_single_process():
+def _spawn_world(mode: str) -> list:
+    """Run the 2-process world; return each rank's DIST_LOSS."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "_dist_worker.py")
     coord = f"127.0.0.1:{_free_port()}"
@@ -31,16 +31,21 @@ def test_two_process_gpt_step_matches_single_process():
     env["PYTHONPATH"] = (repo + os.pathsep + env["PYTHONPATH"]
                          if env.get("PYTHONPATH") else repo)
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), "2", coord],
+        [sys.executable, worker, str(pid), "2", coord, mode],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd=repo) for pid in (0, 1)]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
     losses = []
     for pid, out in enumerate(outs):
         assert procs[pid].returncode == 0, out[-2000:]
         line = [ln for ln in out.splitlines() if ln.startswith("DIST_LOSS")]
         assert line, out[-2000:]
         losses.append(float(line[0].split()[1]))
+    return losses
+
+
+def test_two_process_gpt_step_matches_single_process():
+    losses = _spawn_world("gpt")
     # replicated state + world-spanning gradient psum -> identical loss
     assert losses[0] == pytest.approx(losses[1], abs=1e-6)
 
@@ -49,24 +54,10 @@ def test_two_process_gpt_step_matches_single_process():
     import jax
     from easevoice_trainer_tpu import parallel
     from easevoice_trainer_tpu.parallel import distributed
-    from easevoice_trainer_tpu.models.gpt import (Text2SemanticDecoder,
-                                                  T2SConfig)
     from easevoice_trainer_tpu.train import gpt_step
+    from _dist_worker import gpt_fixture
 
-    tcfg = T2SConfig(vocab_size=33, phoneme_vocab_size=20, embedding_dim=32,
-                     hidden_dim=32, n_heads=4, n_layers=2, ffn_dim=64,
-                     dropout=0.0, eos_id=32)
-    thp = gpt_step.GPTTrainHP(grad_accum=1)
-    model = Text2SemanticDecoder(tcfg)
-    rng = np.random.default_rng(7)
-    B = 4
-    batch = {
-        "phoneme_ids": rng.integers(0, 20, (B, 6)).astype(np.int32),
-        "phoneme_ids_len": np.full((B,), 6, np.int32),
-        "semantic_ids": rng.integers(0, 32, (B, 8)).astype(np.int32),
-        "semantic_ids_len": np.full((B,), 8, np.int32),
-        "bert_feature": rng.normal(size=(B, 6, 1024)).astype(np.float32),
-    }
+    model, thp, batch = gpt_fixture()
     mesh = parallel.make_mesh(n_data=4, n_model=1,
                               devices=jax.devices()[:4])
     state = gpt_step.create_train_state(jax.random.PRNGKey(0), model, thp,
@@ -77,6 +68,34 @@ def test_two_process_gpt_step_matches_single_process():
     _, metrics = step(state, sharded, jax.random.PRNGKey(2))
     single = float(jax.device_get(metrics["loss"]))
     assert losses[0] == pytest.approx(single, abs=1e-4)
+
+
+def test_two_process_s2_step_matches_single_process():
+    """The s2 GAN step through the production multi-host path
+    (process_local_rows + shard_batch_global, train/sovits.py:244-257)
+    must equal single-process data-parallel math
+    (reference DDP semantics: src/train/sovits.py:219-224)."""
+    losses = _spawn_world("s2")
+    assert losses[0] == pytest.approx(losses[1], abs=1e-5)
+
+    import jax
+    from easevoice_trainer_tpu import parallel
+    from easevoice_trainer_tpu.parallel import distributed
+    from easevoice_trainer_tpu.train import sovits_step
+    from _dist_worker import s2_fixture
+
+    synth, disc, hp, mel_cfg, batch = s2_fixture()
+    mesh = parallel.make_mesh(n_data=4, n_model=1,
+                              devices=jax.devices()[:4])
+    state = sovits_step.create_train_state(
+        jax.random.PRNGKey(0), synth, disc, hp, batch, steps_per_epoch=2)
+    state = distributed.replicate_global(state, mesh)
+    sharded = distributed.shard_batch_global(batch, mesh)
+    step = jax.jit(sovits_step.make_train_step(synth, disc, hp, mel_cfg,
+                                               steps_per_epoch=2))
+    _, metrics = step(state, sharded, jax.random.PRNGKey(2))
+    single = float(jax.device_get(metrics["loss/g/total"]))
+    assert losses[0] == pytest.approx(single, rel=1e-3)
 
 
 def test_process_local_rows_single_process_identity():
