@@ -282,6 +282,13 @@ def main():
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
 
+    # enable the machine-keyed persistent compile cache BEFORE the first
+    # compile: the headline stage builds train steps directly (no GlobalCFG
+    # consumer on its path), and without this the most expensive compile of
+    # the whole bench is re-paid cold on every driver run
+    from easevoice_trainer_tpu.utils.config import GlobalCFG
+    GlobalCFG()
+
     extra: dict = {"budget_sec": _BUDGET}
     steps_per_sec = None
     vs_baseline = None

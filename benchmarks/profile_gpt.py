@@ -23,6 +23,8 @@ def build(batch: int, sem_len: int, no_opt: bool = False,
     import jax.numpy as jnp
     from easevoice_trainer_tpu.models.gpt import Text2SemanticDecoder, T2SConfig
     from easevoice_trainer_tpu.train import gpt_step
+    from easevoice_trainer_tpu.utils.config import GlobalCFG
+    GlobalCFG()   # persistent compile cache (standalone runs)
 
     if no_opt:
         import optax

@@ -28,6 +28,8 @@ def measure(n_tokens: int = 250, batch: int = 1) -> dict:
     from easevoice_trainer_tpu.models.gpt import (
         Text2SemanticDecoder, T2SConfig, decode_ar, DecodeParams)
     from easevoice_trainer_tpu.models.sovits import SynthesizerTrn, SovitsConfig
+    from easevoice_trainer_tpu.utils.config import GlobalCFG
+    GlobalCFG()   # persistent compile cache (standalone runs)
 
     cpu = jax.local_devices(backend="cpu")[0]
     rng = np.random.default_rng(0)
