@@ -14,12 +14,19 @@ The ratio is reference s2 wall-clock / our s2 wall-clock for the identical
 
 Budget discipline (round-4 post-mortem: rc=124, no JSON at all): the whole
 run works against one wall-clock budget (EASEVOICE_BENCH_BUDGET_SEC,
-default 420 s).  Each optional stage (GPT, RTF, e2e) runs only if enough
+default 1500 s).  Each optional stage (GPT, RTF, e2e) runs only if enough
 budget remains for a conservative estimate of its cost and records a
 skip-with-reason otherwise; the JSON line is printed from a ``finally``
 so a partial run still produces its number, and SIGTERM/SIGALRM (the
 driver's timeout) is converted into an exception so even a hard overrun
 emits whatever was measured by then.
+
+Budget calibration: the round-3 driver run completed rc=0 at well over
+1500 s of wall (cold headline compile + 450 s e2e + GPT + RTF), so the
+driver tolerates at least that; 1500 s fits the full measured warm-cache
+stage set (headline ~215 s + GPT ~75 s + RTF ~90 s + e2e ~320 s +
+serving-path RTF ~315 s) with margin, while a cold-cache run spends the
+budget on the headline compile and skips the optional stages by gate.
 """
 from __future__ import annotations
 
@@ -32,7 +39,7 @@ import time
 import numpy as np
 
 _T0 = time.monotonic()
-_BUDGET = float(os.environ.get("EASEVOICE_BENCH_BUDGET_SEC", "420"))
+_BUDGET = float(os.environ.get("EASEVOICE_BENCH_BUDGET_SEC", "1500"))
 
 
 def _remaining() -> float:
@@ -70,6 +77,7 @@ def build(batch_size: int, frames: int):
         SynthesizerTrn, SovitsConfig, MultiPeriodDiscriminator)
     from easevoice_trainer_tpu.ops.stft import MelConfig, spectrogram
     from easevoice_trainer_tpu.train import sovits_step
+    from easevoice_trainer_tpu.utils.config import host_cpu_init
 
     cfg = SovitsConfig()
     mel_cfg = MelConfig()
@@ -96,11 +104,44 @@ def build(batch_size: int, frames: int):
     }
 
     # init on host CPU (keys included — a TPU-resident key would force a slow
-    # first device-to-host transfer); train on the accelerator
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        state = sovits_step.create_train_state(
-            jax.random.PRNGKey(0), synth, disc, hp, batch, steps_per_epoch=100)
-        state = jax.tree_util.tree_map(np.asarray, state)
+    # first device-to-host transfer); train on the accelerator.  The init
+    # state is disk-cached: XLA:CPU executables can never be reloaded from
+    # the persistent cache (cpu_aot_loader machine-feature bug — see
+    # utils/config.host_cpu_init), so the ~95 s init compile would otherwise
+    # be paid cold on every driver run.  The bench needs a *valid* state,
+    # not a fresh one, so caching the initialized leaves is sound; the key
+    # pins every shape/dtype plus configs, and a stale entry only means a
+    # different (still valid) synthetic starting point.
+    key = "|".join([repr(cfg), repr(hp), "spe=100",
+                    *(f"{k}:{v.shape}:{v.dtype}" for k, v in
+                      sorted(batch.items()))])
+    state = None
+    cache_file = None
+    try:
+        import hashlib
+        import pickle
+        cache_file = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "jax_compile_cache",
+            f"bench_s2_state_{hashlib.sha256(key.encode()).hexdigest()[:16]}.pkl")
+        if os.path.exists(cache_file):
+            with open(cache_file, "rb") as f:
+                state = pickle.load(f)
+    except Exception:
+        state = None
+    if state is None:
+        with host_cpu_init():
+            state = sovits_step.create_train_state(
+                jax.random.PRNGKey(0), synth, disc, hp, batch,
+                steps_per_epoch=100)
+            state = jax.tree_util.tree_map(np.asarray, state)
+        if cache_file is not None:
+            try:
+                os.makedirs(os.path.dirname(cache_file), exist_ok=True)
+                with open(cache_file + ".tmp", "wb") as f:
+                    pickle.dump(state, f)
+                os.replace(cache_file + ".tmp", cache_file)
+            except Exception:
+                pass
     state = jax.device_put(state, jax.devices()[0])
     batch = jax.device_put(batch, jax.devices()[0])
     step = jax.jit(sovits_step.make_train_step(synth, disc, hp, mel_cfg,
@@ -288,6 +329,22 @@ def main():
     # the whole bench is re-paid cold on every driver run
     from easevoice_trainer_tpu.utils.config import GlobalCFG
     GlobalCFG()
+
+    # warm the accelerator backend + tunnel readback path concurrently with
+    # the host-CPU init compiles (the first TPU dispatch/readback through
+    # the tunnel can cost minutes in a fresh process; overlapping hides it
+    # behind the ~95 s init path on cold runs)
+    import threading
+
+    def _tpu_warmup():
+        try:
+            import jax
+            import jax.numpy as jnp
+            float(jax.jit(lambda: jnp.zeros(()) + 1.0)())
+        except Exception:       # pragma: no cover - best-effort
+            pass
+
+    threading.Thread(target=_tpu_warmup, daemon=True).start()
 
     extra: dict = {"budget_sec": _BUDGET}
     steps_per_sec = None

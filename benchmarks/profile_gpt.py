@@ -18,12 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build(batch: int, sem_len: int, no_opt: bool = False,
-          remat: bool = True):
+          remat: bool = False):
     import jax
     import jax.numpy as jnp
     from easevoice_trainer_tpu.models.gpt import Text2SemanticDecoder, T2SConfig
     from easevoice_trainer_tpu.train import gpt_step
-    from easevoice_trainer_tpu.utils.config import GlobalCFG
+    from easevoice_trainer_tpu.utils.config import GlobalCFG, host_cpu_init
     GlobalCFG()   # persistent compile cache (standalone runs)
 
     if no_opt:
@@ -46,7 +46,7 @@ def build(batch: int, sem_len: int, no_opt: bool = False,
         "bert_feature": rng.normal(
             size=(batch, ph_len, 1024)).astype(np.float32),
     }
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+    with host_cpu_init():
         state = gpt_step.create_train_state(
             jax.random.PRNGKey(0), model, hp, batch_np)
         state = jax.tree_util.tree_map(np.asarray, state)
@@ -57,7 +57,7 @@ def build(batch: int, sem_len: int, no_opt: bool = False,
 
 
 def measure(batch: int = 8, sem_len: int = 256, iters: int = 10,
-            no_opt: bool = False, remat: bool = True) -> dict:
+            no_opt: bool = False, remat: bool = False) -> dict:
     """Best-of-3-window s1 step timing + cost model; reused by bench.py."""
     import jax
 
@@ -98,7 +98,7 @@ def main():
     sem_len = int(pos[1]) if len(pos) > 1 else 256
     iters = int(pos[2]) if len(pos) > 2 else 10
     no_opt = "--no-opt" in sys.argv
-    remat = "--no-remat" not in sys.argv
+    remat = "--remat" in sys.argv   # default off: lost the r5 A/B (PERF.md)
 
     out = measure(batch, sem_len, iters, no_opt, remat)
     label = "gpt no-opt" if no_opt else "gpt full"

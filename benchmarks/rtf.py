@@ -28,7 +28,7 @@ def measure(n_tokens: int = 250, batch: int = 1) -> dict:
     from easevoice_trainer_tpu.models.gpt import (
         Text2SemanticDecoder, T2SConfig, decode_ar, DecodeParams)
     from easevoice_trainer_tpu.models.sovits import SynthesizerTrn, SovitsConfig
-    from easevoice_trainer_tpu.utils.config import GlobalCFG
+    from easevoice_trainer_tpu.utils.config import GlobalCFG, host_cpu_init
     GlobalCFG()   # persistent compile cache (standalone runs)
 
     cpu = jax.local_devices(backend="cpu")[0]
@@ -46,7 +46,7 @@ def measure(n_tokens: int = 250, batch: int = 1) -> dict:
     prompts = rng.integers(0, 1024, (batch, Tp)).astype(np.int32)
     bert = rng.normal(size=(batch, Tx, 1024)).astype(np.float32)
 
-    with jax.default_device(cpu):
+    with host_cpu_init():
         key = jax.random.PRNGKey(0)
         tvars = jax.jit(t2s.init)(key, x, x_lens, prompts[:, :8],
                                   np.full((batch,), 8, np.int32), bert)
@@ -135,6 +135,7 @@ def measure_multi_segment(n_segments: int = 6, batch_size: int = 4) -> dict:
     from easevoice_trainer_tpu.models.sovits import (SovitsConfig,
                                                      SynthesizerTrn)
     from easevoice_trainer_tpu.utils import audio_io
+    from easevoice_trainer_tpu.utils.config import host_cpu_init
 
     cpu = jax.local_devices(backend="cpu")[0]
     dev = jax.devices()[0]
@@ -147,7 +148,7 @@ def measure_multi_segment(n_segments: int = 6, batch_size: int = 4) -> dict:
     hcfg = HubertConfig()
     hubert = CNHubert(hcfg)
 
-    with jax.default_device(cpu):
+    with host_cpu_init():
         vvars = jax.jit(vits.init)(
             {"params": key, "slice": key, "latent": key, "dropout": key},
             np.zeros((1, 8, vits_cfg.ssl_dim), np.float32),

@@ -203,13 +203,14 @@ class Text2SemanticDecoder(nn.Module):
     cfg: T2SConfig = T2SConfig()
     dtype: Optional[jnp.dtype] = None
     # rematerialize each layer in the backward pass, saving only the
-    # no-batch-dim dot outputs (qkv/out/ffn projections): the (B,H,T,T)
-    # attention scores/probs never round-trip HBM between fwd and bwd.
-    # The train step is HBM-bound at ~20 % MFU, so recomputing the two
-    # attention einsums is cheaper than streaming them (docs/PERF.md).
-    # Identical numerics; transparent to params/checkpoints; a no-op for
-    # inference (prefill/decode take no gradients).
-    remat: bool = True
+    # no-batch-dim dot outputs (qkv/out/ffn projections).  Raced on the
+    # real v5e at the production gpt.yaml geometry (8×256): remat 32.30 ms
+    # vs no-remat 28.99 ms with IDENTICAL cost-model bytes (40.5 GB) — at
+    # this sequence length the (B,H,T,T) attention intermediates are too
+    # small for the recompute to pay, so remat is off by default per the
+    # "must win or revert" rule (docs/PERF.md round-5 A/B).  Flip on for
+    # long-sequence / memory-constrained fine-tunes only.
+    remat: bool = False
 
     def setup(self):
         c = self.cfg

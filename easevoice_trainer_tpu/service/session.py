@@ -257,13 +257,24 @@ def start_task_with_subprocess(uid: str, cmd_module: str, request: Any) -> None:
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
     _manager().add_session_subprocess(uid, proc.pid)
     connector = MultiProcessOutputConnector()
+    saw_response = False
     for data in connector.read_data(proc):
         if data.dataType == ConnectorDataType.RESP:
+            saw_response = True
             _manager().end_session_with_response(uid, data.response)
         elif data.dataType == ConnectorDataType.SESSION_DATA:
             _manager().update_session_info(uid, data.session_data)
         elif data.dataType == ConnectorDataType.LOSS:
             _manager().update_session_loss(uid, data.loss)
+    # a child that dies without its final response (crash, external SIGKILL,
+    # interpreter abort) must not leave the session "Running" forever — it
+    # would block every future task behind the single-task guard
+    if not saw_response:
+        rc = proc.poll()
+        tail = " | ".join(connector.tail[-5:])
+        _manager().fail_session(
+            uid, f"training subprocess exited (rc={rc}) without reporting a "
+                 f"result{('; last output: ' + tail[:500]) if tail else ''}")
 
 
 def _check_session(uid: str, task_name: str) -> Optional[EaseVoiceResponse]:

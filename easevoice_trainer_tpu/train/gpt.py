@@ -93,7 +93,7 @@ class GPTTrain:
         self.ckpt_dir = os.path.join(self.output_dir, "logs", "ckpt")
         os.makedirs(self.ckpt_dir, exist_ok=True)
 
-        from ..utils.config import GlobalCFG
+        from ..utils.config import GlobalCFG, host_cpu_init
 
         self.pretrained = params.model_path or GlobalCFG().gpt_path
         self.connector = MultiProcessOutputConnector()
@@ -156,7 +156,7 @@ class GPTTrain:
         max_ph = _round_up(
             max(len(p) for (_, p, _) in dataset.items), 16)
 
-        from ..utils.config import GlobalCFG
+        from ..utils.config import GlobalCFG, host_cpu_init
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16 if GlobalCFG().is_half else None
@@ -165,7 +165,7 @@ class GPTTrain:
         example = data_mod.collate_gpt(
             [dataset.load_item(i) for i in first[1]], max_ph,
             _round_up(batcher.padded_frames(first[0]), 2))
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        with host_cpu_init():
             state = gpt_step.create_train_state(
                 jax.random.PRNGKey(self.seed), model, self.hp, example)
             state = jax.tree_util.tree_map(np.asarray, state)

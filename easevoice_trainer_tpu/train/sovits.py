@@ -108,7 +108,7 @@ class SovitsTrain:
         self.train_logs_dir = os.path.join(self.output_dir, TRAIN_LOGS_PATH)
         os.makedirs(self.train_logs_dir, exist_ok=True)
 
-        from ..utils.config import GlobalCFG
+        from ..utils.config import GlobalCFG, host_cpu_init
 
         cfg = GlobalCFG()
         self.pretrained_s2G = params.pretrained_s2G or cfg.sovits_path
@@ -198,7 +198,7 @@ class SovitsTrain:
                                  for e in dataset.examples), 16)
 
         # bf16 compute on TPU (is_half), fp32 params; fp32 everywhere on CPU
-        from ..utils.config import GlobalCFG
+        from ..utils.config import GlobalCFG, host_cpu_init
         import jax.numpy as jnp
 
         dtype = jnp.bfloat16 if GlobalCFG().is_half else None
@@ -210,7 +210,7 @@ class SovitsTrain:
             [dataset.load_item(i) for i in idxs],
             batcher.padded_frames(bucket_id), text_cap,
             hop=self.mel_cfg.hop_length)
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        with host_cpu_init():
             state = sovits_step.create_train_state(
                 jax.random.PRNGKey(self.seed), synth, disc, self.hp, example,
                 steps_per_epoch=steps_per_epoch)

@@ -11,6 +11,7 @@ TPU-native analogue of the reference ``GlobalCFG``
 """
 from __future__ import annotations
 
+import contextlib
 import os
 import threading
 from typing import Optional
@@ -22,6 +23,36 @@ def str2bool(v: str | bool) -> bool:
     if isinstance(v, bool):
         return v
     return str(v).strip().lower() in ("1", "true", "t", "yes", "y")
+
+
+@contextlib.contextmanager
+def host_cpu_init():
+    """Place init computations on the host CPU WITHOUT persisting their
+    XLA:CPU executables in the compilation cache.
+
+    XLA:CPU AOT artifacts embed compiler-chosen pseudo-features
+    (``+prefer-no-scatter``/``+prefer-no-gather``) that the runtime
+    loader's host-feature detection never reports, so a persisted CPU
+    executable fails its machine-type check on *every* load — including
+    on the very machine that compiled it — spamming ``cpu_aot_loader.cc``
+    errors and recompiling anyway.  Machine-keying the cache directory
+    (``GlobalCFG._machine_fingerprint``) cannot fix that; the only robust
+    answer is to never persist CPU-placed compiles.  They are cheap init
+    paths — the persistent cache exists for the minutes-long TPU step
+    compiles, which stay cached.
+    """
+    import jax
+
+    prev = jax.config.jax_compilation_cache_dir
+    cpu = jax.local_devices(backend="cpu")[0]
+    try:
+        if prev is not None:
+            jax.config.update("jax_compilation_cache_dir", None)
+        with jax.default_device(cpu):
+            yield
+    finally:
+        if prev is not None:
+            jax.config.update("jax_compilation_cache_dir", prev)
 
 
 class GlobalCFG:

@@ -54,7 +54,23 @@ class ConnectorData:
 
 
 class MultiProcessOutputConnector:
-    """Writer (child side) + select()-based reader (parent side)."""
+    """Writer (child side) + select()-based reader (parent side).
+
+    The reader keeps the last few non-protocol lines in ``tail`` so a child
+    that dies without emitting a final response (crash, external SIGKILL)
+    leaves a diagnosable trace for the session's failure message.
+    """
+
+    _TAIL_MAX = 20
+
+    def __init__(self) -> None:
+        self.tail: list[str] = []
+
+    def _note_other(self, text: str) -> None:
+        print(text)
+        self.tail.append(text)
+        if len(self.tail) > self._TAIL_MAX:
+            del self.tail[: -self._TAIL_MAX]
 
     # ---- child side -------------------------------------------------------
 
@@ -96,7 +112,7 @@ class MultiProcessOutputConnector:
                     continue
                 if parsed.dataType == ConnectorDataType.OTHER:
                     if parsed.other:
-                        print(parsed.other)
+                        self._note_other(parsed.other)
                 else:
                     yield parsed
 
@@ -116,7 +132,7 @@ class MultiProcessOutputConnector:
                             continue
                         if parsed.dataType == ConnectorDataType.OTHER:
                             if parsed.other:
-                                print(parsed.other)
+                                self._note_other(parsed.other)
                         else:
                             yield parsed
                 break

@@ -72,3 +72,35 @@ def test_purge_removes_legacy_flat_entries(tmp_path):
 
 def test_purge_tolerates_missing_root(tmp_path):
     GlobalCFG._purge_unkeyed_cache_entries(str(tmp_path / "nope"))
+
+
+def test_host_cpu_init_suspends_persistent_cache(tmp_path):
+    """XLA:CPU AOT artifacts fail their machine-type check even on the
+    compiling machine (compiler pseudo-features like +prefer-no-gather
+    never appear in runtime host detection), so host-CPU init compiles
+    must never reach the persistent cache."""
+    import jax
+
+    from easevoice_trainer_tpu.utils.config import host_cpu_init
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path))
+        with host_cpu_init():
+            assert jax.config.jax_compilation_cache_dir is None
+            # compiles inside run on host CPU and are not persisted
+            y = jax.jit(lambda x: x * 2)(3.0)
+            assert float(y) == 6.0
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_host_cpu_init_places_on_cpu():
+    import jax
+
+    from easevoice_trainer_tpu.utils.config import host_cpu_init
+
+    with host_cpu_init():
+        x = jax.jit(lambda: jax.numpy.zeros((2,)))()
+    assert x.devices() == {jax.local_devices(backend="cpu")[0]}
