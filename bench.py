@@ -112,36 +112,24 @@ def build(batch_size: int, frames: int):
     # not a fresh one, so caching the initialized leaves is sound; the key
     # pins every shape/dtype plus configs, and a stale entry only means a
     # different (still valid) synthetic starting point.
-    key = "|".join([repr(cfg), repr(hp), "spe=100",
-                    *(f"{k}:{v.shape}:{v.dtype}" for k, v in
-                      sorted(batch.items()))])
-    state = None
-    cache_file = None
-    try:
-        import hashlib
-        import pickle
-        cache_file = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "jax_compile_cache",
-            f"bench_s2_state_{hashlib.sha256(key.encode()).hexdigest()[:16]}.pkl")
-        if os.path.exists(cache_file):
-            with open(cache_file, "rb") as f:
-                state = pickle.load(f)
-    except Exception:
-        state = None
-    if state is None:
+    # train/init_cache.py memoization (shared with the production
+    # drivers).  The old ad-hoc pkl lived loose in the cache root, where
+    # GlobalCFG's unkeyed-entry purge deleted it on every startup — the
+    # init compile was silently re-paid on every bench run; init_states/
+    # is purge-exempt.
+    from easevoice_trainer_tpu.train import init_cache
+
+    def _build_state():
         with host_cpu_init():
-            state = sovits_step.create_train_state(
+            st = sovits_step.create_train_state(
                 jax.random.PRNGKey(0), synth, disc, hp, batch,
                 steps_per_epoch=100)
-            state = jax.tree_util.tree_map(np.asarray, state)
-        if cache_file is not None:
-            try:
-                os.makedirs(os.path.dirname(cache_file), exist_ok=True)
-                with open(cache_file + ".tmp", "wb") as f:
-                    pickle.dump(state, f)
-                os.replace(cache_file + ".tmp", cache_file)
-            except Exception:
-                pass
+            return jax.tree_util.tree_map(np.asarray, st)
+
+    state = init_cache.memoized(
+        "bench_s2",
+        (repr(cfg), repr(hp), "spe=100", init_cache.batch_signature(batch)),
+        _build_state, force=True)
     state = jax.device_put(state, jax.devices()[0])
     batch = jax.device_put(batch, jax.devices()[0])
     step = jax.jit(sovits_step.make_train_step(synth, disc, hp, mel_cfg,

@@ -165,10 +165,22 @@ class GPTTrain:
         example = data_mod.collate_gpt(
             [dataset.load_item(i) for i in first[1]], max_ph,
             _round_up(batcher.padded_frames(first[0]), 2))
-        with host_cpu_init():
-            state = gpt_step.create_train_state(
-                jax.random.PRNGKey(self.seed), model, self.hp, example)
-            state = jax.tree_util.tree_map(np.asarray, state)
+        # disk-memoized deterministic init — same rationale as the s2
+        # trainer (train/init_cache.py): skips the unpersistable XLA:CPU
+        # init compile on every fresh trainer subprocess, bit-exactly.
+        from . import init_cache
+
+        def _build_state():
+            with host_cpu_init():
+                st = gpt_step.create_train_state(
+                    jax.random.PRNGKey(self.seed), model, self.hp, example)
+                return jax.tree_util.tree_map(np.asarray, st)
+
+        state = init_cache.memoized(
+            "s1_init",
+            (self.seed, repr(self.model_cfg), repr(self.hp), str(dtype),
+             init_cache.batch_signature(example)),
+            _build_state)
 
         start_epoch = 1
         resume = self._resume_file()

@@ -210,11 +210,28 @@ class SovitsTrain:
             [dataset.load_item(i) for i in idxs],
             batcher.padded_frames(bucket_id), text_cap,
             hop=self.mel_cfg.hop_length)
-        with host_cpu_init():
-            state = sovits_step.create_train_state(
-                jax.random.PRNGKey(self.seed), synth, disc, self.hp, example,
-                steps_per_epoch=steps_per_epoch)
-            state = jax.tree_util.tree_map(np.asarray, state)
+
+        # disk-memoized deterministic init (train/init_cache.py): the
+        # XLA:CPU init compile is minutes on a slow host core and can never
+        # ride the persistent executable cache; the *result* is a pure
+        # function of (seed, configs, shapes), so this is bit-exact.
+        # steps_per_epoch is excluded from the key: it only parameterizes
+        # the LR schedule, never the init values
+        # (tests/test_init_cache.py::test_s2_init_independent_of_steps_per_epoch).
+        from . import init_cache
+
+        def _build_state():
+            with host_cpu_init():
+                st = sovits_step.create_train_state(
+                    jax.random.PRNGKey(self.seed), synth, disc, self.hp,
+                    example, steps_per_epoch=steps_per_epoch)
+                return jax.tree_util.tree_map(np.asarray, st)
+
+        state = init_cache.memoized(
+            "s2_init",
+            (self.seed, repr(self.model_cfg), repr(self.hp), str(dtype),
+             init_cache.batch_signature(example)),
+            _build_state)
 
         state, start_epoch = self._try_resume(state)
         if start_epoch == 1:

@@ -160,6 +160,10 @@ class GlobalCFG:
         for name in entries:
             if keyed.match(name):
                 continue
+            if name == "init_states":
+                # train/init_cache.py memoized init states: platform-
+                # independent numpy data, safe on any machine
+                continue
             path = os.path.join(root, name)
             try:
                 if os.path.isdir(path):

@@ -124,7 +124,13 @@ def main() -> None:
     pid, nproc, coord = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     mode = sys.argv[4] if len(sys.argv) > 4 else "gpt"
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # -O0: the s2 GAN step's XLA:CPU compile at default opt level takes
+    # minutes per process on a 1-core host — two concurrent workers blew
+    # the test's subprocess timeout.  The dryrun uses the same knob; the
+    # loss tolerances in test_distributed.py absorb the tiny numeric
+    # drift vs the default-level single-process comparison.
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2 "
+                               "--xla_backend_optimization_level=0")
     os.environ["EASEVOICE_PROCESS_ID"] = str(pid)
     os.environ["EASEVOICE_NUM_PROCESSES"] = str(nproc)
     os.environ["EASEVOICE_COORDINATOR"] = coord

@@ -34,7 +34,9 @@ def _spawn_world(mode: str) -> list:
         [sys.executable, worker, str(pid), "2", coord, mode],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env, cwd=repo) for pid in (0, 1)]
-    outs = [p.communicate(timeout=600)[0] for p in procs]
+    # generous: two concurrent XLA:CPU compiles on a 1-core CI host took
+    # ~10 min wall even with the workers' -O0 flag (see _dist_worker.py)
+    outs = [p.communicate(timeout=1500)[0] for p in procs]
     losses = []
     for pid, out in enumerate(outs):
         assert procs[pid].returncode == 0, out[-2000:]
